@@ -1,0 +1,79 @@
+"""C/N0 (Variance Summing Method) and PLL lock detector.
+
+Parity with `BDS-3_B2a/include/Calc_CNo_PLD.m:38-100` (the B1C variant
+differs only in which pilot stream carries power by tracking mode).  The
+reference computes these online inside the tracking loop every
+CNoInterval epochs; here they are vectorized post-passes over the stored
+prompt archives — same numbers, computed over the same windows.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from bds3_tpu.config import Signal, TrackMode
+
+
+def vsm_cn0(i_p: np.ndarray, q_p: np.ndarray, int_time: float) -> float:
+    """VSM C/N0 [ratio-Hz] over one window (Calc_CNo_PLD.m:48-58)."""
+    z = i_p.astype(np.float64) ** 2 + q_p.astype(np.float64) ** 2
+    zm = z.mean()
+    zv = z.var(ddof=1) if len(z) > 1 else 0.0
+    pav = np.sqrt(max(zm * zm - zv, 0.0))
+    nv = 0.5 * (zm - pav)
+    if nv <= 0:
+        return np.inf
+    return abs((1.0 / int_time) * pav / (2.0 * nv))
+
+
+def pll_lock(i_p: np.ndarray, q_p: np.ndarray) -> float:
+    """Narrowband-power lock detector (Calc_CNo_PLD.m:62-66)."""
+    si = np.abs(i_p).sum()
+    sq = q_p.sum()
+    nbp = si * si + sq * sq
+    nbd = si * si - sq * sq
+    return nbd / nbp if nbp > 0 else 0.0
+
+
+def _pilot_iq(track, ch: int):
+    """Pilot (I, Q) with power in I, per tracking mode
+    (Calc_CNo_PLD.m:72-75 and the B1C variant's mode switch)."""
+    o = track.outputs
+    mode = track.settings.track_mode
+    if track.settings.signal == Signal.B1C and mode == TrackMode.WIDEBAND:
+        import numpy as _np
+
+        w11 = float(_np.sqrt(29.0 / 33.0))
+        w61 = float(_np.sqrt(4.0 / 33.0))
+        pi = -w61 * o["p61_ip"][ch] + w11 * o["p11_qp"][ch]
+        pq = -w61 * o["p61_qp"][ch] - w11 * o["p11_ip"][ch]
+        return pi, pq
+    # narrowband / B2a: pilot power in Q, so swap (reference :74-75)
+    return o["p11_qp"][ch], o["p11_ip"][ch]
+
+
+def cn0_pld_series(track, ch: int, interval: int | None = None):
+    """Per-interval (data C/N0 dB, pilot C/N0 dB, combined dB, data lock,
+    pilot lock) arrays for one channel."""
+    s = track.settings
+    interval = interval or s.cn0_interval
+    ip = track.outputs["d_ip"][ch]
+    qp = track.outputs["d_qp"][ch]
+    has_pilot = s.track_mode != TrackMode.DATA_ONLY
+    if has_pilot:
+        pi, pq = _pilot_iq(track, ch)
+    n = len(ip) // interval
+    out = {k: np.zeros(n) for k in
+           ("data_cn0", "pilot_cn0", "total_cn0", "data_lock", "pilot_lock")}
+    for w in range(n):
+        sl = slice(w * interval, (w + 1) * interval)
+        d = vsm_cn0(ip[sl], qp[sl], s.int_time)
+        out["data_cn0"][w] = 10 * np.log10(d) if np.isfinite(d) else np.nan
+        out["data_lock"][w] = pll_lock(ip[sl], qp[sl])
+        p = 0.0
+        if has_pilot:
+            p = vsm_cn0(pi[sl], pq[sl], s.int_time)
+            out["pilot_cn0"][w] = 10 * np.log10(p) if np.isfinite(p) else np.nan
+            out["pilot_lock"][w] = pll_lock(pi[sl], pq[sl])
+        total = d + (p if np.isfinite(p) else 0.0)
+        out["total_cn0"][w] = 10 * np.log10(total) if np.isfinite(total) else np.nan
+    return out

@@ -1,0 +1,113 @@
+"""Top-level receiver pipeline: acquisition -> tracking -> nav decode ->
+PVT.
+
+The TPU-native equivalent of the reference's `postProcessing.m` drivers
+(`BDS-3_B2a/postProcessing.m:60-169`, `BDS-3_B1C/postProcessing.m`):
+one entry point shared by both signals, checkpointing between stages,
+returning a structured result object instead of workspace globals.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+
+import numpy as np
+
+from bds3_tpu.acquire import AcqResults, acquire
+from bds3_tpu.acquire.pcps import make_acq_config
+from bds3_tpu.config import FileType, Settings, Signal
+from bds3_tpu.io.ifdata import IFDataFile
+from bds3_tpu.pvt.solver import NavSolutions, post_navigation
+from bds3_tpu.track.driver import TrackResults, track
+from bds3_tpu.track.state import ChannelInit, assign_channels
+
+
+@dataclasses.dataclass
+class ReceiverResults:
+    settings: Settings
+    acq: AcqResults
+    channels: list[ChannelInit]
+    track: TrackResults | None
+    nav: NavSolutions | None
+    timings: dict
+
+
+def acquisition_signal_length(s: Settings) -> int:
+    """Samples needed by the acquisition stage (coarse FFT window + fine
+    window, cf. postProcessing.m acq reads)."""
+    cfg = make_acq_config(s)
+    return cfg.n_fft + max(cfg.fine_noncoh, 1) * cfg.samples_per_code \
+        + cfg.samples_per_code
+
+
+def run_receiver(
+    signal: np.ndarray | IFDataFile,
+    settings: Settings,
+    n_epochs: int | None = None,
+    epochs_per_block: int = 200,
+    checkpoint_path: str | None = None,
+    prns=None,
+    verbose: bool = True,
+) -> ReceiverResults:
+    """Full cold-start pipeline on an IF capture."""
+    timings = {}
+    if isinstance(signal, IFDataFile):
+        if signal.file_type == FileType.IQ8:
+            raw = signal.data
+            signal = raw[:, 0].astype(np.float32) + 1j * raw[:, 1].astype(np.float32)
+        else:
+            signal = signal.data
+
+    t0 = time.time()
+    acq = acquire(signal[: acquisition_signal_length(settings)], settings, prns)
+    timings["acquire_s"] = time.time() - t0
+    if verbose:
+        det = ", ".join(
+            f"{p}({m:.1f})" for p, m in
+            zip(acq.prns[acq.detected], acq.peak_metric[acq.detected])
+        )
+        print(f"[acquire] {timings['acquire_s']:.2f}s detected: ({det})")
+
+    channels = assign_channels(acq, settings)
+    if not channels:
+        return ReceiverResults(settings, acq, [], None, None, timings)
+
+    t0 = time.time()
+    trk = track(signal, settings, channels, n_epochs=n_epochs,
+                epochs_per_block=epochs_per_block)
+    timings["track_s"] = time.time() - t0
+    ms_tracked = trk.n_epochs * settings.int_time * 1e3
+    timings["track_realtime_factor"] = ms_tracked / 1e3 / timings["track_s"]
+    if verbose:
+        print(f"[track] {timings['track_s']:.2f}s for {ms_tracked:.0f} ms x "
+              f"{len(channels)} channels "
+              f"({timings['track_realtime_factor']:.2f}x realtime)")
+
+    if checkpoint_path:
+        # checkpoint between tracking and PVT (postProcessing.m:133-135)
+        with open(checkpoint_path, "wb") as f:
+            pickle.dump({"settings": settings, "acq": acq,
+                         "channels": channels, "track": trk}, f)
+
+    t0 = time.time()
+    nav = post_navigation(trk, settings)
+    timings["pvt_s"] = time.time() - t0
+    if verbose:
+        if nav is None:
+            print("[pvt] no solution (insufficient decoded satellites)")
+        else:
+            ok = np.isfinite(nav.x)
+            print(f"[pvt] {ok.sum()}/{len(nav.x)} fixes in "
+                  f"{timings['pvt_s']:.2f}s")
+    return ReceiverResults(settings, acq, channels, trk, nav, timings)
+
+
+def resume_from_checkpoint(path: str) -> ReceiverResults:
+    """Re-run PVT from a tracking checkpoint (the reference's
+    trackingResults.mat workflow)."""
+    with open(path, "rb") as f:
+        st = pickle.load(f)
+    nav = post_navigation(st["track"], st["settings"])
+    return ReceiverResults(st["settings"], st["acq"], st["channels"],
+                           st["track"], nav, {})

@@ -16,4 +16,8 @@ from bds3_tpu.signals.b2a import (  # noqa: F401
     b2a_data_secondary,
     b2a_pilot_code,
 )
-from bds3_tpu.signals.sampling import sample_chips, sampled_code_table  # noqa: F401
+from bds3_tpu.signals.sampling import (  # noqa: F401
+    sample_chips,
+    sample_chips_floor,
+    sampled_code_table,
+)

@@ -25,6 +25,20 @@ def sample_chips(
     return chips[idx]
 
 
+def sample_chips_floor(
+    chips: np.ndarray, fs: float, chip_rate: float, n_samples: int
+) -> np.ndarray:
+    """Floor-rounded zero-order hold, wrapping past the code end.
+
+    Reference semantics of the B2a fine-acquisition sampler
+    (`BDS-3_B2a/acquisition.m:279-284`): sample i (1-based) reads chip
+    floor(i*ts/tc) mod L (0-based chip index).
+    """
+    i = np.arange(1, n_samples + 1, dtype=np.float64)
+    idx = np.floor(i * (chip_rate / fs)).astype(np.int64) % len(chips)
+    return chips[idx]
+
+
 def sampled_code_table(
     chips: np.ndarray, fs: float, chip_rate: float, code_period_s: float
 ) -> np.ndarray:

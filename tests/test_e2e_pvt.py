@@ -1,0 +1,73 @@
+"""Full receiver end-to-end test: geometry-consistent scenario -> IF
+samples -> acquisition -> tracking -> B-CNAV2 decode -> pseudoranges ->
+least-squares PVT, validated against the known receiver position
+(BASELINE config 4)."""
+import numpy as np
+import pytest
+
+from bds3_tpu.config import b2a_settings
+from bds3_tpu.io.scenario import make_scenario, synthesize_scenario
+from bds3_tpu.receiver import run_receiver
+
+# Boulder, CO (reference authors' home turf) in ECEF [m]
+RX_TRUTH = np.array([-1288398.0, -4721697.0, 4078625.0])
+
+
+@pytest.fixture(scope="module")
+def b2a_fix():
+    s = b2a_settings(
+        sampling_freq=20e6,
+        intermediate_freq=5e6,
+        ms_to_process=11_500,
+        use_tropo_corr=False,     # scenario models no troposphere
+        acq_satellite_list=tuple(range(1, 7)),
+        num_channels=6,
+    )
+    sc = make_scenario(s, RX_TRUTH, n_sats=5, seed=3)
+    sig = synthesize_scenario(sc, noise_std=2.0, amplitude=0.7, seed=1)
+    res = run_receiver(sig, s, epochs_per_block=250, verbose=False)
+    return s, sc, res
+
+
+class TestEndToEndPVT:
+    def test_all_sats_tracked(self, b2a_fix):
+        s, sc, res = b2a_fix
+        assert res.track is not None
+        assert len(res.channels) == 5, [c.prn for c in res.channels]
+
+    def test_ephemeris_decoded(self, b2a_fix):
+        s, sc, res = b2a_fix
+        assert res.nav is not None, "no PVT solution produced"
+        truth = {e.prn: e for e in sc.ephemerides}
+        for prn, eph in res.nav.ephemerides.items():
+            t = truth[prn]
+            assert eph.m_0 == pytest.approx(t.m_0, abs=1e-9)
+            assert eph.omega_0 == pytest.approx(t.omega_0, abs=1e-9)
+            assert eph.a_0 == pytest.approx(t.a_0, abs=2**-33)
+
+    def test_position_accuracy(self, b2a_fix):
+        s, sc, res = b2a_fix
+        nav = res.nav
+        ok = np.isfinite(nav.x)
+        assert ok.sum() >= 3, f"only {ok.sum()} fixes"
+        err = np.sqrt(
+            (nav.x[ok] - RX_TRUTH[0]) ** 2
+            + (nav.y[ok] - RX_TRUTH[1]) ** 2
+            + (nav.z[ok] - RX_TRUTH[2]) ** 2
+        )
+        # steady-state fixes (first may carry clock-init transient)
+        med = np.median(err)
+        assert med < 3.0, f"median 3D error {med:.2f} m (all: {err.round(2)})"
+
+    def test_clock_bias_feedback(self, b2a_fix):
+        s, sc, res = b2a_fix
+        nav = res.nav
+        ok = np.isfinite(nav.dt)
+        # after the first epoch, clock feedback keeps |dt| below ~ 1 km
+        assert np.all(np.abs(nav.dt[ok][1:]) < 1000.0)
+
+    def test_dop_reported(self, b2a_fix):
+        s, sc, res = b2a_fix
+        ok = np.isfinite(res.nav.x)
+        assert np.all(res.nav.dop[1, ok] > 0)
+        assert np.all(res.nav.dop[1, ok] < 20)
