@@ -104,13 +104,23 @@ def make_scenario(settings: Settings, rx_pos: np.ndarray, n_sats: int = 5,
 
 
 def _delay_grid(sc: Scenario, eph: Ephemeris, t_grid: np.ndarray) -> np.ndarray:
-    """Light-time-iterated geometric delay tau(t) on a coarse grid [s]."""
+    """Light-time-iterated geometric delay tau(t) on a coarse grid [s].
+
+    Includes the Sagnac term: the ECEF satellite position at transmit time
+    is rotated by omega_e*tau into the receive-epoch frame before
+    differencing (matching `Common/e_r_corr.m`, which the receiver's
+    least-squares applies) — without this the synthesized geometry is
+    inconsistent with the solver by tens of meters.
+    """
+    from bds3_tpu.pvt.geodesy import e_r_corr
+
     tau = np.full(len(t_grid), 0.07)
-    for _ in range(3):
+    for _ in range(4):
         for j, t in enumerate(t_grid):
             u = sc.sow_base + t - tau[j]
             pos, _ = satpos_one(u, _zero_clock(eph), apply_tgd=False)
-            tau[j] = np.linalg.norm(pos - sc.rx_pos_ecef) / C_LIGHT
+            pos_rx_frame = e_r_corr(tau[j], pos)
+            tau[j] = np.linalg.norm(pos_rx_frame - sc.rx_pos_ecef) / C_LIGHT
     return tau
 
 

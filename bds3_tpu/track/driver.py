@@ -100,20 +100,35 @@ def track(
     per_epoch_max = cfg.q0_int + 3
     # Fixed block length across every call: a varying length would retrace
     # and recompile the scan each block.  Channel cursor spread is bounded
-    # by one code period plus slow differential drift.
-    # margin: one extra code period absorbs ~50 s of differential
-    # code-Doppler drift between channels (~0.8 samples/epoch at +-5 kHz)
+    # by one code period plus slow differential drift; margins below absorb
+    # ~50 s of code-Doppler drift (~1 sample/epoch worst case).
     block_len = int(cursors0.max() - s0) + W * per_epoch_max + cfg.n_max \
-        + cfg.q0_int + 4 * per_epoch_max
-    chunks = []
-    abs_chunks = []
+        + 2 * cfg.q0_int + 4 * per_epoch_max
+    # Analytic per-block shift (NO device->host sync in the loop: each
+    # readback through a remote-device relay costs ~seconds of latency).
+    # Expected epoch advance per channel = L/(step_base + init_dstep);
+    # shift by the slowest channel minus a drift guard.
+    exp_adv = cfg.code_length / (cfg.step_base + consts.init_dstep.astype(np.float64))
+    # guard 0.1 samples/epoch >> true drift of the tracked code rate vs the
+    # acquisition-aided estimate (~1e-3 samples/epoch + satellite dynamics)
+    shift = max(int(np.floor(W * (exp_adv.min() - 0.1))), 0)
+
+    out_chunks = []   # device arrays, downloaded once at the end
+    names = None
     done = 0
     total = len(signal)
+    spread0 = int(cursors0.max() - s0)
     while done < n_epochs:
-        cursor_host = np.asarray(state.cursor, dtype=np.int64)
-        need = int(cursor_host.max()) + W * per_epoch_max + cfg.n_max
-        assert need <= block_len, "channel cursors drifted past block margin"
-        if s0 + need > total:
+        # conservative bound on current max cursor without a device sync
+        worst = spread0 + int(
+            (done // W) * (W * (exp_adv.max() - exp_adv.min()) + 0.1 * W + 2)
+        )
+        if worst - spread0 > 2 * cfg.q0_int:
+            raise RuntimeError(
+                "channel cursor spread outgrew the block margin; use a "
+                "larger epochs_per_block or re-anchor (very long run)"
+            )
+        if s0 + worst + W * per_epoch_max + cfg.n_max > total:
             break  # out of data: return partial results (tracking.m:250-254)
         block = signal[s0 : s0 + block_len]
         if len(block) < block_len:
@@ -126,29 +141,33 @@ def track(
             cfg, jnp.asarray(block), data_t, p11_t, p61_t,
             ckd_i, ckd_f, ck61_i, ck61_f, consts, state,
         )
-        outs = {k: np.asarray(v) for k, v in outs.items()}  # (W, C)
-        blks = outs["blksize"].astype(np.int64)
-        abs_end = s0 + cursor_host[None, :] + np.cumsum(blks, axis=0)
-        chunks.append(outs)
-        abs_chunks.append(abs_end)
+        # pack (W, C) outputs into one (F, W, C) device array; blksize is
+        # < 2^24 so float32 stacking is exact
+        names = sorted(outs.keys())
+        out_chunks.append(jnp.stack(
+            [outs[k].astype(jnp.float32) for k in names]
+        ))
         done += W
-        new_cursor = np.asarray(new_state.cursor, dtype=np.int64)
-        shift = int(new_cursor.min())
         s0 += shift
-        state = new_state._replace(
-            cursor=(new_cursor - shift).astype(np.int32)
-        )
+        state = new_state._replace(cursor=new_state.cursor - shift)
 
-    if not chunks:
+    if not out_chunks:
         raise ValueError("not enough signal for a single tracking block")
 
-    names = chunks[0].keys()
+    # single packed download for the whole run
+    stacked = np.asarray(jnp.concatenate(out_chunks, axis=1))  # (F, E, C)
     outputs = {
-        k: np.concatenate([c[k] for c in chunks], axis=0)[:n_epochs].T.copy()
-        for k in names
+        k: np.ascontiguousarray(stacked[i][:n_epochs].T)
+        for i, k in enumerate(names)
     }  # (C, E)
-    absolute_sample = np.concatenate(abs_chunks, axis=0)[:n_epochs].T.copy()
     E = outputs["d_ip"].shape[1]
+
+    # absolute end-sample of each epoch: initial code-start position plus
+    # the cumulative consumed samples (s0+cursor is shift-invariant)
+    blks = stacked[names.index("blksize")][:E].astype(np.int64)  # (E, C)
+    absolute_sample = np.ascontiguousarray(
+        (cursors0[None, :] + np.cumsum(blks, axis=0)).T
+    )
 
     base = np.array([c.acquired_freq for c in inits], dtype=np.float64)
     carr_freq = base[:, None] + outputs["d_cyc"].astype(np.float64) * cfg.fs

@@ -125,3 +125,35 @@ class TestB1CTracking:
 
         pq = res.outputs["p11_qp"][0][60:100]
         assert np.mean(np.abs(pq)) > 3 * np.mean(np.abs(res.outputs["p11_ip"][0][60:100]))
+
+    def test_wb_qmboc_lock(self):
+        # wideband mode needs the BOC(6,1) component adequately sampled
+        s = b1c_s(sampling_freq=30e6, intermediate_freq=7.5e6,
+                  track_mode=TrackMode.WIDEBAND)
+        sat = SatParams(prn=19, doppler_hz=-600.0, code_phase_chips=777.0,
+                        amplitude=1.2)
+        acq, chans, res = run_pipeline(s, sat, n_ms=1700.0, n_epochs=100,
+                                       noise=1.0)
+        assert res.n_epochs >= 80
+        true_f = s.intermediate_freq + sat.doppler_hz
+        assert abs(np.mean(res.carr_freq[0, 60:80]) - true_f) < 1.0
+
+        # composite pilot prompt power lands in composite I when locked
+        w11 = np.sqrt(29.0 / 33.0)
+        w61 = np.sqrt(4.0 / 33.0)
+        pi = -w61 * res.outputs["p61_ip"][0] + w11 * res.outputs["p11_qp"][0]
+        pq = -w61 * res.outputs["p61_qp"][0] - w11 * res.outputs["p11_ip"][0]
+        tail = slice(60, 80)
+        assert np.mean(np.abs(pi[tail])) > 4 * np.mean(np.abs(pq[tail]))
+
+        # BOC(6,1) correlator actually sees power (WB-only observable):
+        # its in-phase prompt should track the secondary-code sign
+        p61 = res.outputs["p61_ip"][0][tail]
+        assert np.mean(np.abs(p61)) > 0  # present
+        # and the DLL weight is the analytic CalcWeighingFactor value
+        from bds3_tpu.track.weighting import wb_dll_weight
+
+        # pilot carries the wideband BOC(6,1) power, so the data channel
+        # gets the minority DLL weight (~0.16 at 27 MHz front end)
+        f = wb_dll_weight(s.code_freq_basis, s.front_end_bw)
+        assert 0.05 < f < 0.5
