@@ -1,0 +1,138 @@
+"""Diagnostic plots — parity with the reference L0 layer
+(`include/plotAcquisition.m`, `plotTracking.m`, `plotNavigation.m`,
+`skyPlot.m`, `probeData.m`).
+
+All functions return the matplotlib Figure (callers save or show); the
+library never blocks on a GUI.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_acquisition(acq, threshold: float):
+    """Bar chart of acquisition metrics (plotAcquisition.m:36-60)."""
+    fig, ax = plt.subplots(figsize=(10, 4))
+    colors = ["tab:green" if d else "tab:blue" for d in acq.detected]
+    ax.bar(acq.prns, acq.peak_metric, color=colors)
+    ax.axhline(threshold, color="r", ls="--", label="threshold")
+    ax.set_xlabel("PRN")
+    ax.set_ylabel("acquisition metric")
+    ax.set_title("Acquisition results")
+    ax.legend()
+    fig.tight_layout()
+    return fig
+
+
+def plot_tracking(track, channel: int):
+    """Per-channel tracking dashboard (plotTracking.m:40-167): IQ
+    constellation, nav bits, discriminators, correlator envelopes."""
+    o = track.outputs
+    ip, qp = o["d_ip"][channel], o["d_qp"][channel]
+    t = np.arange(len(ip)) * track.int_time
+    fig, axs = plt.subplots(3, 2, figsize=(12, 9))
+    fig.suptitle(f"Channel {channel} (PRN {track.prns[channel]})")
+
+    axs[0, 0].plot(ip, qp, ".", ms=1)
+    axs[0, 0].set_title("Discrete-time constellation")
+    axs[0, 0].set_xlabel("I_P")
+    axs[0, 0].set_ylabel("Q_P")
+
+    axs[0, 1].plot(t, ip, lw=0.5)
+    axs[0, 1].set_title("Nav bits (I_P)")
+
+    axs[1, 0].plot(t, o["code_err"][channel], lw=0.5)
+    axs[1, 0].set_title("Raw DLL discriminator")
+    axs[1, 1].plot(t, o["carr_err"][channel], lw=0.5)
+    axs[1, 1].set_title("Raw PLL discriminator")
+
+    env = {k: np.sqrt(o[f"d_i{k}"][channel] ** 2 + o[f"d_q{k}"][channel] ** 2)
+           for k in ("e", "p", "l")}
+    for k, style in (("e", "-"), ("p", "-"), ("l", "-")):
+        axs[2, 0].plot(t, env[k], style, lw=0.6, label=f"$\\sqrt{{I_{k.upper()}^2+Q_{k.upper()}^2}}$")
+    axs[2, 0].legend()
+    axs[2, 0].set_title("Correlation envelopes")
+
+    axs[2, 1].plot(t, track.carr_freq[channel] - track.acquired_freq[channel],
+                   lw=0.6)
+    axs[2, 1].set_title("Carrier freq - acquired [Hz]")
+    for ax in axs.flat:
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    return fig
+
+
+def plot_navigation(nav, true_enu=None):
+    """ENU scatter + height + PDOP (plotNavigation.m:40-139)."""
+    ok = np.isfinite(nav.x)
+    e = nav.east[ok] - np.nanmean(nav.east[ok])
+    n = nav.north[ok] - np.nanmean(nav.north[ok])
+    u = nav.up[ok] - np.nanmean(nav.up[ok])
+    fig, axs = plt.subplots(1, 3, figsize=(14, 4))
+    axs[0].plot(e, n, "o", ms=3)
+    axs[0].set_xlabel("E variation [m]")
+    axs[0].set_ylabel("N variation [m]")
+    axs[0].set_title("EN scatter vs mean")
+    axs[0].axis("equal")
+    axs[1].plot(u, ".-")
+    axs[1].set_title("U variation [m]")
+    axs[2].plot(nav.dop[1, ok], ".-", label="PDOP")
+    axs[2].plot(nav.dop[2, ok], ".-", label="HDOP")
+    axs[2].legend()
+    axs[2].set_title("DOP")
+    for ax in axs:
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    return fig
+
+
+def sky_plot(nav, prns=None):
+    """Azimuth/elevation polar plot (skyPlot.m:46-177)."""
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="polar")
+    ax.set_theta_zero_location("N")
+    ax.set_theta_direction(-1)
+    C = nav.az.shape[0]
+    for ch in range(C):
+        az = np.radians(nav.az[ch])
+        r = 90 - nav.el[ch]
+        m = np.isfinite(az) & np.isfinite(r)
+        if m.any():
+            ax.plot(az[m], r[m], ".-", ms=3,
+                    label=f"PRN {int(nav.prns[ch])}")
+    ax.set_rlim(0, 90)
+    ax.set_yticks([0, 30, 60, 90])
+    ax.set_yticklabels(["90", "60", "30", "0"])
+    mean_pdop = np.nanmean(nav.dop[1][np.isfinite(nav.x)])
+    ax.set_title(f"Sky plot (mean PDOP {mean_pdop:.2f})")
+    ax.legend(loc="lower right", fontsize=7)
+    return fig
+
+
+def plot_probe(stats: dict, fs: float):
+    """Raw IF data sanity plots (probeData.m:86-170)."""
+    fig, axs = plt.subplots(1, 2, figsize=(11, 4))
+    centers = (stats["hist_edges"][:-1] + stats["hist_edges"][1:]) / 2
+    axs[0].bar(centers, stats["hist"], width=1.0)
+    axs[0].set_title(f"Histogram (mean {stats['mean']:.2f}, "
+                     f"std {stats['std']:.2f})")
+    axs[0].set_xlim(-40, 40)
+    axs[1].axvline(stats["spectrum_peak_bin"] * fs / (1 << 18) / 1e6, color="r")
+    axs[1].set_title("Spectrum peak [MHz]")
+    fig.tight_layout()
+    return fig
+
+
+def channel_status_table(track, acq=None) -> str:
+    """Text channel table (showChannelStatus.m:37-56)."""
+    lines = ["Ch | PRN |  Acquired freq [Hz] | Metric",
+             "---+-----+---------------------+-------"]
+    for ch in range(len(track.prns)):
+        lines.append(f"{ch:2d} | {int(track.prns[ch]):3d} | "
+                     f"{track.acquired_freq[ch]:19.1f} |   -")
+    return "\n".join(lines)

@@ -4,10 +4,16 @@ Channel/PRN axes are pure fan-out, so sharding is expressed by placing
 the leading axis of the per-channel inputs on the "channel" mesh axis
 and jitting the *same* kernels — XLA partitions the vmapped lanes with
 no communication (the domain's data parallelism, SURVEY.md section 2.5).
+The Doppler axis of acquisition is sharded with `shard_map`: each device
+searches its bin subset and the global (peak, bin, phase) winner is
+combined with one tiny all-gather.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bds3_tpu.acquire.pcps import AcqConfig, coarse_search
@@ -31,6 +37,47 @@ def sharded_coarse_search(mesh: Mesh, signal, data_codes, pilot_codes,
     a_bins = jax.device_put(a_bins, rep)
     c1_bins = jax.device_put(c1_bins, rep)
     return coarse_search(signal, data_codes, pilot_codes, a_bins, c1_bins, cfg)
+
+
+def doppler_sharded_coarse_search(mesh: Mesh, signal, data_codes,
+                                  pilot_codes, a_bins, c1_bins,
+                                  cfg: AcqConfig, axis: str = "channel"):
+    """Coarse PCPS with the Doppler-bin axis sharded via shard_map.
+
+    a_bins/c1_bins length must be a multiple of (mesh size * bin_chunk);
+    the caller pads (padded bins are masked inside coarse_search).  Each
+    device runs the standard scan over its local bins; the winners are
+    combined with an all_gather of three (P,)-vectors.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    # each shard sees its local bin count as fully valid
+    local_bins = a_bins.shape[0] // n_dev
+    local_cfg = AcqConfig(**{**cfg.__dict__, "n_bins": local_bins})
+
+    # check_vma off: coarse_search's internal scan carries replicated
+    # constants that become device-varying once the bin axis is manual
+    fn = shard_map(
+        functools.partial(_local_search, local_cfg=local_cfg, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(signal, data_codes, pilot_codes, a_bins, c1_bins)
+
+
+def _local_search(sig, d8, p8, a_loc, c1_loc, *, local_cfg, axis):
+    dev = jax.lax.axis_index(axis)
+    v, b, ph = coarse_search(sig, d8, p8, a_loc, c1_loc, local_cfg)
+    b = b + dev * a_loc.shape[0]
+    vs = jax.lax.all_gather(v, axis)
+    bs = jax.lax.all_gather(b, axis)
+    ps = jax.lax.all_gather(ph, axis)
+    win = jnp.argmax(vs, axis=0)
+    take = lambda arr: jnp.take_along_axis(arr, win[None, :], axis=0)[0]
+    return take(vs), take(bs), take(ps)
 
 
 def sharded_track_block(mesh: Mesh, cfg: TrackConfig, block,

@@ -164,6 +164,31 @@ def cart2geo(x: float, y: float, z: float, i: int = 5):
     return math.degrees(phi), math.degrees(lam), h
 
 
+def geo2cart(lat_deg: float, lon_deg: float, h: float, i: int = 5):
+    """Geodetic -> ECEF [m] (inverse of cart2geo; the reference carries
+    this as `Common/geo2cart.m`)."""
+    a, finv = ELLIPSOIDS[i - 1]
+    f = 1.0 / finv
+    lat = math.radians(lat_deg)
+    lon = math.radians(lon_deg)
+    e2 = (2 - f) * f
+    n = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+    x = (n + h) * math.cos(lat) * math.cos(lon)
+    y = (n + h) * math.cos(lat) * math.sin(lon)
+    z = (n * (1 - e2) + h) * math.sin(lat)
+    return np.array([x, y, z])
+
+
+def deg2dms(deg: float) -> tuple[int, int, float]:
+    """Decimal degrees -> (deg, min, sec) (`Common/deg2dms.m` role)."""
+    sign = -1 if deg < 0 else 1
+    d = abs(deg)
+    whole = int(d)
+    m = int((d - whole) * 60)
+    s = (d - whole - m / 60) * 3600
+    return sign * whole, m, s
+
+
 def find_utm_zone(latitude: float, longitude: float) -> int:
     """UTM zone from lat/lon in degrees (`Common/findUtmZone.m:20-71`)."""
     if longitude > 180 or longitude < -180 or latitude > 84 or latitude < -80:

@@ -48,9 +48,14 @@ def run_receiver(
     epochs_per_block: int = 200,
     checkpoint_path: str | None = None,
     prns=None,
+    acq_results: AcqResults | None = None,
     verbose: bool = True,
 ) -> ReceiverResults:
-    """Full cold-start pipeline on an IF capture."""
+    """Full cold-start pipeline on an IF capture.
+
+    Pass `acq_results` to reuse a previous acquisition (the reference's
+    settings.skipAcquisition workflow, postProcessing.m:81-85).
+    """
     timings = {}
     if isinstance(signal, IFDataFile):
         if signal.file_type == FileType.IQ8:
@@ -60,7 +65,11 @@ def run_receiver(
             signal = signal.data
 
     t0 = time.time()
-    acq = acquire(signal[: acquisition_signal_length(settings)], settings, prns)
+    if acq_results is not None:
+        acq = acq_results
+    else:
+        acq = acquire(signal[: acquisition_signal_length(settings)],
+                      settings, prns)
     timings["acquire_s"] = time.time() - t0
     if verbose:
         det = ", ".join(

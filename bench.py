@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from bds3_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_capture.npy")
 SECONDS = 2.2

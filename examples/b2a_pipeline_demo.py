@@ -12,6 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from bds3_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
 from bds3_tpu.config import b2a_settings
 from bds3_tpu.io import SatParams, synthesize_if
 from bds3_tpu.navmsg.encode import bcnav2_nav_bits

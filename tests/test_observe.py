@@ -1,0 +1,59 @@
+"""Smoke tests for C/N0 estimation and diagnostic plots."""
+import numpy as np
+import pytest
+
+from bds3_tpu.observe.cn0 import pll_lock, vsm_cn0
+
+
+class TestVSM:
+    def test_cn0_scales_with_snr(self):
+        rng = np.random.default_rng(0)
+        n = 1000
+        int_time = 1e-3
+        # locked channel: I ~ A + noise, Q ~ noise
+        for a, sigma in ((1000.0, 50.0), (1000.0, 200.0)):
+            i_p = a + rng.normal(0, sigma, n)
+            q_p = rng.normal(0, sigma, n)
+            est = vsm_cn0(i_p, q_p, int_time)
+            true = a**2 / (2 * sigma**2) / int_time
+            assert est == pytest.approx(true, rel=0.25)
+
+    def test_lock_detector(self):
+        rng = np.random.default_rng(1)
+        i_p = 1000.0 * np.sign(rng.normal(size=500)) + rng.normal(0, 50, 500)
+        q_p = rng.normal(0, 50, 500)
+        assert pll_lock(i_p, q_p) > 0.95
+        # constant 45-degree phase error: NBD/NBP -> 0
+        bits = np.sign(rng.normal(size=500))
+        i45 = 1000 * bits * np.cos(np.pi / 4)
+        q45 = 1000 * np.sin(np.pi / 4) * np.ones(500)
+        assert abs(pll_lock(i45, q45)) < 0.1
+
+
+class TestPlots:
+    def test_figures_build(self, tmp_path):
+        from bds3_tpu.observe import plots
+
+        class FakeAcq:
+            prns = np.arange(1, 11)
+            peak_metric = np.linspace(1, 10, 10)
+            detected = peak_metric > 5
+
+        fig = plots.plot_acquisition(FakeAcq(), 5.0)
+        fig.savefig(tmp_path / "acq.png")
+
+        class FakeTrack:
+            prns = np.array([19])
+            acquired_freq = np.array([7.5e6])
+            int_time = 1e-3
+            E = 500
+            outputs = {
+                k: np.abs(np.random.default_rng(0).normal(1000, 100, (1, 500)))
+                for k in ("d_ie", "d_qe", "d_ip", "d_qp", "d_il", "d_ql",
+                          "code_err", "carr_err")
+            }
+            carr_freq = np.full((1, 500), 7.5e6 + 100.0)
+
+        fig = plots.plot_tracking(FakeTrack(), 0)
+        fig.savefig(tmp_path / "trk.png")
+        assert (tmp_path / "trk.png").stat().st_size > 0

@@ -27,7 +27,12 @@ def get():
         num_channels=6,
     )
     sc = make_scenario(s, RX, n_sats=5, seed=3)
-    sig = synthesize_scenario(sc, noise_std=2.0, amplitude=0.7, seed=1)
+    sig_cache = "/tmp/pvt_debug_sig.npy"
+    if os.path.exists(sig_cache):
+        sig = np.load(sig_cache)
+    else:
+        sig = synthesize_scenario(sc, noise_std=2.0, amplitude=0.7, seed=1)
+        np.save(sig_cache, sig)
     res = run_receiver(sig, s, epochs_per_block=250, verbose=True)
     data = {"s": s, "sc": sc, "res": res}
     with open(CACHE, "wb") as f:
