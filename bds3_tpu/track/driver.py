@@ -47,15 +47,23 @@ class TrackResults:
 
 
 def channel_code_tables(cfg: TrackConfig, inits: list[ChannelInit]):
+    """(C, L*m + 2*CODE_PAD) circularly-padded chip tables per channel."""
+    from bds3_tpu.track.scan import CODE_PAD
+
+    def ext(arr):
+        return np.concatenate(
+            [arr[..., -CODE_PAD:], arr, arr[..., :CODE_PAD]], axis=-1
+        )
+
     if cfg.signal == Signal.B2A:
-        data = np.stack([b2a_data_code(c.prn) for c in inits])
-        p11 = np.stack([b2a_pilot_code(c.prn) for c in inits])
+        data = ext(np.stack([b2a_data_code(c.prn) for c in inits]))
+        p11 = ext(np.stack([b2a_pilot_code(c.prn) for c in inits]))
         p61 = np.zeros((len(inits), 1), np.int8)
     else:
-        data = np.stack([b1c_data_boc11(c.prn) for c in inits])
-        p11 = np.stack([b1c_pilot_boc11(c.prn) for c in inits])
+        data = ext(np.stack([b1c_data_boc11(c.prn) for c in inits]))
+        p11 = ext(np.stack([b1c_pilot_boc11(c.prn) for c in inits]))
         if cfg.wideband:
-            p61 = np.stack([b1c_pilot_boc61(c.prn) for c in inits])
+            p61 = ext(np.stack([b1c_pilot_boc61(c.prn) for c in inits]))
         else:
             p61 = np.zeros((len(inits), 1), np.int8)
     return data, p11, p61
@@ -102,8 +110,9 @@ def track(
     # and recompile the scan each block.  Channel cursor spread is bounded
     # by one code period plus slow differential drift; margins below absorb
     # ~50 s of code-Doppler drift (~1 sample/epoch worst case).
+    # includes the pre-gathered window extent (scan.window_length)
     block_len = int(cursors0.max() - s0) + W * per_epoch_max + cfg.n_max \
-        + 2 * cfg.q0_int + 4 * per_epoch_max
+        + 2 * cfg.q0_int + 4 * per_epoch_max + W + 64
     # Analytic per-block shift (NO device->host sync in the loop: each
     # readback through a remote-device relay costs ~seconds of latency).
     # Expected epoch advance per channel = L/(step_base + init_dstep);

@@ -7,8 +7,15 @@ loops (`BDS-3_B2a/tracking.m:195-436`, `BDS-3_B1C/WB_tracking.m:206-496`,
 loop state (NCO phases/frequencies, filter memories), so each scan step
 does one *epoch* of work — ~1e5-1e6 samples of fused mix+correlate across
 all channels at once — and `lax.scan` carries the loop state.  The
-variable MATLAB `blksize` becomes a fixed n_max-sample window with a
-validity mask (SURVEY.md section 7.4 item 2).
+variable MATLAB `blksize` becomes a fixed-size masked window (SURVEY.md
+section 7.4 item 2).
+
+Memory-access design: the scan body never touches the large signal block.
+Epoch windows are pre-gathered *outside* the scan at per-channel nominal
+strides (cursor0 + e*floor(expected advance) - guard), so XLA streams
+HBM->VMEM with static access patterns; the few-sample difference between
+the true NCO cursor and the nominal window start rides in a per-epoch
+`off` scalar folded into the phase bases and the validity mask.
 
 Phase generation follows the split-table scheme described in
 track/state.py; behavioral parity notes for each discriminator are cited
@@ -28,37 +35,51 @@ from bds3_tpu.track.state import SPLIT, ChannelConsts, ChannelState, TrackConfig
 W11 = float(np.sqrt(29.0 / 33.0))  # QMBOC pilot BOC(1,1) amplitude
 W61 = float(np.sqrt(4.0 / 33.0))   # QMBOC pilot BOC(6,1) amplitude
 
+START_GUARD = 16  # window starts this many samples before the nominal cursor
+CODE_PAD = 16     # circular padding of code tables (both correlator paths)
+
+
+def window_length(cfg: TrackConfig) -> int:
+    """Static pre-gathered window length: epoch span + in-block drift
+    slack (fractional advance accumulates < 1 sample/epoch) + guard."""
+    return cfg.n_max + cfg.epochs_per_block + 2 * START_GUARD
+
 
 def _code_indices(cfg: TrackConfig, m: int, ck_int, ck_frac,
-                  rem_code, off_chips, d_step, k_idx, r_f, i_f):
+                  base_chips, d_step, k_idx, r_f, j_f):
     """Per-sample gather index into an m-entries-per-chip table.
 
     Reproduces the reference indexing `ceil(tcode*m)` with circular wrap
     (local-code pad [end, code, first], e.g. tracking.m:156-164): 0-based
-    index = (ceil(chi*m) - 1) mod (L*m)."""
+    index = (ceil(chi*m) - 1) mod (L*m).  base_chips already includes the
+    epoch code-phase remainder, the tap offset, and the -off*step window
+    correction."""
     lm = cfg.code_length * m
     sm = jnp.float32(cfg.step_base * m)
-    frac = (rem_code + off_chips) * m + ck_frac[k_idx] + r_f * sm \
-        + i_f * (d_step * m)
+    frac = base_chips * m + ck_frac[k_idx] + r_f * sm + j_f * (d_step * m)
     idx = ck_int[k_idx] + jnp.ceil(frac).astype(jnp.int32) - 1
     return jnp.mod(idx, lm)
 
 
-def _epoch(cfg: TrackConfig, tables, consts_row, block, state_row):
+def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
     """One tracking epoch for one channel (vmapped over channels).
 
-    tables: dict of (L*m,) int8 code arrays for this channel.
-    consts_row / state_row: per-channel slices of ChannelConsts/ChannelState.
+    win: (n_win,) pre-gathered samples beginning at stream index `start`.
     """
     (cursor, rem_code, rem_cyc, d_cyc, d_step,
      code_nco, code_error, d1_carr, d2_carr) = state_row
-    carr_t, a_base, q0_cyc, init_dstep = consts_row
+    carr_t, a_base, q0_cyc, init_dstep, adv_int = consts_row
 
-    n = cfg.n_max
+    n = win.shape[0]
     i32 = jnp.arange(n, dtype=jnp.int32)
-    i_f = i32.astype(jnp.float32)
-    k_idx = i32 // SPLIT
-    r_f = (i32 % SPLIT).astype(jnp.float32)
+
+    # offset of the true epoch start inside the nominal window
+    off = cursor - start
+    j32 = i32 - off                      # sample index within the epoch
+    j_pos = jnp.maximum(j32, 0)          # clamped for table lookups
+    j_f = j_pos.astype(jnp.float32)
+    k_idx = j_pos // SPLIT
+    r_f = (j_pos % SPLIT).astype(jnp.float32)
 
     # --- blksize = ceil((L - rem)/step) (tracking.m:230-233) -------------
     e_rel = d_step / jnp.float32(cfg.step_base)       # (step-base)/base
@@ -67,13 +88,10 @@ def _epoch(cfg: TrackConfig, tables, consts_row, block, state_row):
                            + (cfg.q0_int + cfg.q0_frac) * e_rel) * corr
     delta = jnp.ceil(resid).astype(jnp.int32)
     blksize = cfg.q0_int + delta
-    mask = (i32 < blksize).astype(jnp.float32)
-
-    # --- sample window ----------------------------------------------------
-    win = jax.lax.dynamic_slice(block, (cursor,), (n,))
+    mask = ((j32 >= 0) & (j32 < blksize)).astype(jnp.float32)
 
     # --- local carrier (WB_tracking.m:329-346, canonical e^{-j theta}) ---
-    cyc = jnp.mod(carr_t[k_idx] + rem_cyc + r_f * a_base + i_f * d_cyc, 1.0)
+    cyc = jnp.mod(carr_t[k_idx] + rem_cyc + r_f * a_base + j_f * d_cyc, 1.0)
     ang = (2.0 * np.pi) * cyc
     c, s = jnp.cos(ang), jnp.sin(ang)
     if cfg.complex_input:
@@ -85,11 +103,44 @@ def _epoch(cfg: TrackConfig, tables, consts_row, block, state_row):
         i_bb = x * c * mask
         q_bb = -(x * s) * mask
 
-    def correlate(table, m, ck, off):
-        idx = _code_indices(cfg, m, ck[0], ck[1], rem_code, off,
-                            d_step, k_idx, r_f, i_f)
-        cv = table[idx].astype(jnp.float32)
-        return jnp.sum(cv * i_bb), jnp.sum(cv * q_bb)
+    if cfg.correlator == "bucket":
+        # Prefix sums once per epoch; each correlator then needs only
+        # ~L boundary lookups instead of N per-sample gathers.
+        p_i = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(i_bb)])
+        p_q = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(q_bb)])
+        n_win = win.shape[0]
+
+    def correlate(table, m, ck, off_chips):
+        base = rem_code + off_chips
+        if cfg.correlator != "bucket":
+            idx = _code_indices(cfg, m, ck[0], ck[1], base, d_step,
+                                k_idx, r_f, j_f)
+            cv = table[idx + CODE_PAD].astype(jnp.float32)
+            return jnp.sum(cv * i_bb), jnp.sum(cv * q_bb)
+
+        # --- prefix-sum (bucket) correlator --------------------------------
+        # Exact regrouping of sum_j bb[j]*chips[ceil(chi(j)*m)-1]: bucket k
+        # spans samples j in ((k - base*m)/sm, (k+1 - base*m)/sm], so its
+        # contribution is a difference of prefix sums at the boundary.
+        lm = cfg.code_length * m
+        inv0 = 1.0 / (cfg.step_base * m)          # host f64
+        inv0_int = int(np.floor(inv0))
+        inv0_frac = float(inv0 - inv0_int)
+        smm = jnp.float32(cfg.step_base * m) + d_step * m
+        inv = 1.0 / smm
+        dinv = inv - jnp.float32(inv0_int) - jnp.float32(inv0_frac)
+        k_i = jnp.arange(-CODE_PAD, lm + CODE_PAD + 1, dtype=jnp.int32)
+        k_f = k_i.astype(jnp.float32)
+        frac_part = k_f * jnp.float32(inv0_frac) + k_f * dinv \
+            - (base * m) * inv
+        j_k = k_i * inv0_int + jnp.floor(frac_part).astype(jnp.int32) + 1
+        iw = jnp.clip(j_k + off, 0, n_win)        # window-domain boundary
+        gi = p_i[iw]
+        gq = p_q[iw]
+        b_i = gi[1:] - gi[:-1]                    # (lm + 2*CODE_PAD,)
+        b_q = gq[1:] - gq[:-1]
+        cv = table.astype(jnp.float32)            # extended chips
+        return jnp.dot(b_i, cv), jnp.dot(b_q, cv)
 
     ck_d = tables["ck_data"]
     spc = jnp.float32(cfg.spacing)
@@ -194,11 +245,27 @@ def track_block(
 ):
     """Run cfg.epochs_per_block epochs for all channels; returns
     (new_state, outputs dict of (W, C) arrays)."""
-    if not cfg.complex_input:
-        block = block.astype(jnp.float32)
+    W = cfg.epochs_per_block
+    n_win = window_length(cfg)
+    C = data_tables.shape[0]
 
-    def step(carry, _):
-        def one_channel(st_row, dtab, p11tab, p61tab, c_row):
+    cursor0 = jnp.asarray(state.cursor, jnp.int32)             # (C,)
+    adv_int = jnp.asarray(consts.adv_int, jnp.int32)           # (C,)
+    e_idx = jnp.arange(W, dtype=jnp.int32)
+    starts = cursor0[None, :] + e_idx[:, None] * adv_int[None, :] \
+        - START_GUARD                                           # (W, C)
+    starts = jnp.maximum(starts, 0)
+
+    # pre-gather all epoch windows with static-shape slices (outside the
+    # sequential scan)
+    windows = jax.vmap(jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(block, (s0,), (n_win,))
+    ))(starts)                                                  # (W, C, n_win)
+
+    def step(carry, xs):
+        win_row, start_row = xs
+
+        def one_channel(st_row, dtab, p11tab, p61tab, c_row, w, s0):
             tables = {
                 "data": dtab,
                 "pilot11": p11tab,
@@ -206,13 +273,14 @@ def track_block(
                 "ck_data": (ck_data_int, ck_data_frac),
                 "ck_p61": (ck_p61_int, ck_p61_frac),
             }
-            return _epoch(cfg, tables, c_row, block, st_row)
+            return _epoch(cfg, tables, c_row, st_row, w, s0)
 
         new_state, out = jax.vmap(
-            one_channel, in_axes=(0, 0, 0, 0, 0)
-        )(carry, data_tables, pilot11_tables, pilot61_tables, tuple(consts))
+            one_channel, in_axes=(0, 0, 0, 0, 0, 0, 0)
+        )(carry, data_tables, pilot11_tables, pilot61_tables,
+          tuple(consts)[:5], win_row, start_row)
         return new_state, out
 
     init = tuple(jnp.asarray(x) for x in state)
-    final, outs = jax.lax.scan(step, init, None, length=cfg.epochs_per_block)
+    final, outs = jax.lax.scan(step, init, (windows, starts))
     return ChannelState(*final), outs

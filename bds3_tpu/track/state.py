@@ -52,6 +52,7 @@ class TrackConfig:
     dll_factor: float         # WB data/pilot DLL weight; unused otherwise
     complex_input: bool
     epochs_per_block: int
+    correlator: str = "bucket"  # "bucket" (prefix-sum) or "gather"
 
     @property
     def use_pilot(self) -> bool:
@@ -85,6 +86,7 @@ class ChannelConsts(NamedTuple):
     a_base: np.ndarray       # (C,) f32: (base/fs) mod 1
     q0_cyc: np.ndarray       # (C,) f32: (q0_int*base/fs) mod 1
     init_dstep: np.ndarray   # (C,) f32: initial (codeFreq-basis)/fs
+    adv_int: np.ndarray      # (C,) int32: floor(expected samples/epoch)
 
 
 @dataclasses.dataclass
@@ -117,7 +119,8 @@ def assign_channels(acq, settings: Settings) -> list[ChannelInit]:
 
 
 def make_track_config(s: Settings, complex_input: bool = False,
-                      epochs_per_block: int = 100) -> TrackConfig:
+                      epochs_per_block: int = 100,
+                      correlator: str = "bucket") -> TrackConfig:
     if s.signal == Signal.B2A:
         m_data, m_p61 = 1, 0
     else:
@@ -157,6 +160,7 @@ def make_track_config(s: Settings, complex_input: bool = False,
         dll_factor=dll_factor,
         complex_input=complex_input,
         epochs_per_block=epochs_per_block,
+        correlator=correlator,
     )
 
 
@@ -192,11 +196,13 @@ def channel_consts(cfg: TrackConfig, inits: list[ChannelInit],
     fd = base - settings.intermediate_freq
     code_freq = cfg.code_freq_basis * (1.0 + fd / settings.carr_freq_basis)
     init_dstep = (code_freq - cfg.code_freq_basis) / cfg.fs
+    adv = cfg.code_length / (cfg.step_base + init_dstep)
     return ChannelConsts(
         carr_t=carr_t.astype(np.float32),
         a_base=a_base.astype(np.float32),
         q0_cyc=q0_cyc.astype(np.float32),
         init_dstep=init_dstep.astype(np.float32),
+        adv_int=np.floor(adv).astype(np.int32),
     )
 
 

@@ -12,7 +12,7 @@ import numpy as np
 
 SPLIT = 4096
 N = 99_380          # epoch window
-W = 50              # epochs per scan
+W = 25              # epochs per scan
 C = 12
 L = 10_230
 BLOCK = 6_000_000
@@ -22,7 +22,7 @@ def run(name, fn, *args):
     out = fn(*args)
     float(np.asarray(out))  # force full round trip
     t0 = time.time()
-    reps = 3
+    reps = 2
     for _ in range(reps):
         float(np.asarray(fn(*args)))
     dt = (time.time() - t0) / reps
@@ -123,13 +123,18 @@ def main():
             tot = tot + jnp.sum(cv * ibb, axis=-1) + jnp.sum(cv * qbb, axis=-1)
         return tot, None
 
-    run("full (dynslice+trig+3 gathers)", scan_over(v_full),
-        block, tables, carr_t, a_base)
-    run("no gathers", scan_over(v_nogather), block, tables, carr_t, a_base)
-    run("no trig", scan_over(v_notrig), block, tables, carr_t, a_base)
-    run("window only", scan_over(v_window_only), block, tables, carr_t, a_base)
-    run("static window + trig + gathers", scan_over(v_static_window),
-        block, tables, carr_t, a_base)
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    variants = {
+        "full": ("full (dynslice+trig+3 gathers)", v_full),
+        "nogather": ("no gathers", v_nogather),
+        "notrig": ("no trig", v_notrig),
+        "window": ("window only", v_window_only),
+        "static": ("static window + trig + gathers", v_static_window),
+    }
+    for key, (name, fn) in variants.items():
+        if which in ("all", key):
+            run(name, scan_over(fn), block, tables, carr_t, a_base)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def main():
     cki, ckf = code_coarse_tables(cfg, cfg.m_data)
     cursors = np.array([c.code_phase for c in inits])
     state = initial_state(cfg, inits, consts, cursors)
-    n_block = int(cursors.max()) + W * (cfg.q0_int + 3) + cfg.n_max
+    n_block = int(cursors.max()) + W * (cfg.q0_int + 4) + cfg.n_max + 4 * cfg.q0_int
     rng = np.random.default_rng(0)
     block = rng.integers(-30, 30, n_block).astype(np.int8)
 
@@ -38,15 +38,19 @@ def main():
             jax.numpy.asarray(cki), jax.numpy.asarray(ckf),
             jax.numpy.asarray(cki), jax.numpy.asarray(ckf), consts, state)
 
+    import jax.numpy as jnp
+
+    def force():
+        st, outs = track_block(*args)
+        return float(np.asarray(jnp.sum(outs["d_ip"])))
+
     t0 = time.time()
-    st, outs = track_block(*args)
-    jax.block_until_ready(outs)
+    force()
     print(f"compile+first: {time.time()-t0:.2f}s")
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        st, outs = track_block(*args)
-        jax.block_until_ready(outs)
+        force()
     dt = (time.time() - t0) / reps
     ms_signal = W * s.int_time * 1e3
     print(f"steady: {dt:.3f}s for {W} epochs x {C}ch "
