@@ -371,6 +371,23 @@ def acquire(
     """
     s = settings
     prns = np.asarray(prns if prns is not None else s.acq_satellite_list)
+
+    if s.resampling and s.sampling_freq > s.resampling_threshold:
+        # bandpass-sampling decimation (acquisition.m:52-124); results are
+        # mapped back to the original rate below
+        from bds3_tpu.acquire.resample import (
+            plan_resample, recover_results, resample_signal,
+        )
+
+        plan = plan_resample(s)
+        signal = resample_signal(signal, s, plan)
+        s_low = dataclasses.replace(
+            s, sampling_freq=plan.new_fs, intermediate_freq=plan.new_if,
+            resampling=False,
+        )
+        acq = acquire(signal, s_low, prns)
+        return recover_results(acq, plan)
+
     cfg = make_acq_config(s)
     d8, p8 = acq_code_tables(s, prns)
     sig = jnp.asarray(signal)

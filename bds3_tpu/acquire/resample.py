@@ -1,0 +1,77 @@
+"""Optional band-pass-sampling decimation for acquisition.
+
+Parity with the reference's resampling strategy
+(`BDS-3_B2a/acquisition.m:52-124`, identical in the B1C variant): filter
+the IF capture to the code main lobe (zero-phase FIR), pick a bandpass
+sampling frequency from the acceptable range, nearest-index decimate, and
+alias the IF down.  The recovery of the original-rate code phase and
+carrier frequency mirrors the reference's "downsampling recovery"
+(acquisition.m:337-356).
+
+On TPU this trades FFT length for host filtering time; it is off by
+default (as in the reference settings).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy import signal as sp_signal
+
+from bds3_tpu.config import Settings
+
+
+@dataclasses.dataclass
+class ResamplePlan:
+    old_fs: float
+    old_if: float
+    new_fs: float
+    new_if: float
+
+
+def plan_resample(s: Settings) -> ResamplePlan | None:
+    """Bandpass-sampling plan (acquisition.m:74-122), or None if the
+    sampling rate is already below the threshold."""
+    bw = s.code_freq_basis * 2 + 0.5e6
+    fu = s.intermediate_freq + bw / 2
+    n = max(int(np.floor(fu / bw)), 1)
+    lower = 2 * fu / n
+    fl = s.intermediate_freq - bw / 2
+    upper = 2 * fl / (n - 1) if n > 1 else lower
+    new_fs = float(np.ceil((lower + upper) / 2))
+    new_if = float(np.fmod(s.intermediate_freq, new_fs))
+    return ResamplePlan(s.sampling_freq, s.intermediate_freq, new_fs, new_if)
+
+
+def resample_signal(signal: np.ndarray, s: Settings,
+                    plan: ResamplePlan) -> np.ndarray:
+    """Zero-phase band-pass filter + nearest-index decimation
+    (acquisition.m:59-115)."""
+    fs = plan.old_fs
+    bw = s.code_freq_basis * 2 + 0.5e6
+    w1 = (plan.old_if - bw / 2) * 2 / fs - 0.002
+    w2 = (plan.old_if + bw / 2) * 2 / fs + 0.002
+    b = sp_signal.firwin(701, [max(w1, 1e-6), min(w2, 1 - 1e-6)],
+                         pass_zero=False)
+    filtered = sp_signal.filtfilt(b, [1.0], np.asarray(signal, np.float64))
+    n_out = int(np.floor((len(signal) - 1) / fs * plan.new_fs))
+    idx = np.ceil(np.arange(n_out) / plan.new_fs * fs).astype(np.int64)
+    idx[0] = 0
+    return filtered[idx].astype(np.float32)
+
+
+def recover_results(acq, plan: ResamplePlan):
+    """Map code phase and carrier frequency back to the original rate
+    (acquisition.m:309-328): codePhase scales by fs ratio; the carrier
+    estimate un-aliases around the resampled Nyquist."""
+    code_phase = np.floor(
+        acq.code_phase / plan.new_fs * plan.old_fs
+    ).astype(np.int64)
+    carr = np.asarray(acq.carr_freq, dtype=np.float64)
+    if plan.new_if >= plan.new_fs / 2:
+        doppler = (plan.new_fs - plan.new_if) - carr
+    else:
+        doppler = carr - plan.new_if
+    acq.code_phase = code_phase
+    acq.carr_freq = doppler + plan.old_if
+    return acq

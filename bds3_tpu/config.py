@@ -71,6 +71,8 @@ class Settings:
     acq_noncoh_rounds: int = 1                # non-coherent sums (B2a fine=15)
     acq_fine_step: float = 25.0               # fine frequency grid [Hz]
     pilot_acq: bool = True                    # use pilot channel in acquisition
+    resampling: bool = False                  # bandpass-decimate before acq
+    resampling_threshold: float = 15e6        # apply only above this fs [Hz]
 
     # --- tracking --------------------------------------------------------
     track_mode: TrackMode = TrackMode.WIDEBAND

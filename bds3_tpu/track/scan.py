@@ -45,6 +45,35 @@ def window_length(cfg: TrackConfig) -> int:
     return cfg.n_max + cfg.epochs_per_block + 2 * START_GUARD
 
 
+def _monotone_gather2(p2: jnp.ndarray, iw: jnp.ndarray,
+                      stride_int: int) -> jnp.ndarray:
+    """Gather p2[(n_p, 2)] at monotone indices iw[(n,)] via tiled one-hot
+    matmuls (TPU gathers are ~serial; MXU matvecs are not).
+
+    Indices advance ~stride_int+{0,1} per step, so each 128-index tile
+    lies in a contiguous window of the source; the lookup becomes
+    (128, S) one-hot @ (S, 2).
+    """
+    tile = 128
+    n = iw.shape[0]
+    n_t = -(-n // tile)
+    pad = n_t * tile - n
+    iw_p = jnp.pad(iw, (0, pad), mode="edge").reshape(n_t, tile)
+    s_len = ((stride_int + 2) * tile + 127) // 128 * 128
+    base = jnp.clip(iw_p[:, 0], 0, p2.shape[0] - s_len)
+
+    def per_tile(b, idxs):
+        win = jax.lax.dynamic_slice(p2, (b, 0), (s_len, 2))
+        rel = idxs - b
+        onehot = (rel[:, None] ==
+                  jnp.arange(s_len, dtype=jnp.int32)[None, :])
+        return jnp.dot(onehot.astype(jnp.float32), win,
+                       preferred_element_type=jnp.float32)
+
+    vals = jax.vmap(per_tile)(base, iw_p)       # (n_t, tile, 2)
+    return vals.reshape(n_t * tile, 2)[:n]
+
+
 def _code_indices(cfg: TrackConfig, m: int, ck_int, ck_frac,
                   base_chips, d_step, k_idx, r_f, j_f):
     """Per-sample gather index into an m-entries-per-chip table.
@@ -106,8 +135,10 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
     if cfg.correlator == "bucket":
         # Prefix sums once per epoch; each correlator then needs only
         # ~L boundary lookups instead of N per-sample gathers.
-        p_i = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(i_bb)])
-        p_q = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(q_bb)])
+        p_iq = jnp.stack([
+            jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(i_bb)]),
+            jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(q_bb)]),
+        ], axis=-1)                               # (n_win+1, 2)
         n_win = win.shape[0]
 
     def correlate(table, m, ck, off_chips):
@@ -135,12 +166,14 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
             - (base * m) * inv
         j_k = k_i * inv0_int + jnp.floor(frac_part).astype(jnp.int32) + 1
         iw = jnp.clip(j_k + off, 0, n_win)        # window-domain boundary
-        gi = p_i[iw]
-        gq = p_q[iw]
-        b_i = gi[1:] - gi[:-1]                    # (lm + 2*CODE_PAD,)
-        b_q = gq[1:] - gq[:-1]
+        if jax.default_backend() == "cpu":
+            g = p_iq[iw]          # CPU gathers are fast; TPU's are serial
+        else:
+            g = _monotone_gather2(p_iq, iw, inv0_int)
+        b_iq = g[1:] - g[:-1]                     # (lm + 2*CODE_PAD, 2)
         cv = table.astype(jnp.float32)            # extended chips
-        return jnp.dot(b_i, cv), jnp.dot(b_q, cv)
+        corr = jnp.dot(cv, b_iq, preferred_element_type=jnp.float32)
+        return corr[0], corr[1]
 
     ck_d = tables["ck_data"]
     spc = jnp.float32(cfg.spacing)
