@@ -61,17 +61,21 @@ def resample_signal(signal: np.ndarray, s: Settings,
 
 
 def recover_results(acq, plan: ResamplePlan):
-    """Map code phase and carrier frequency back to the original rate
-    (acquisition.m:309-328): codePhase scales by fs ratio; the carrier
-    estimate un-aliases around the resampled Nyquist."""
+    """Map code phase and carrier frequency back to the original rate.
+
+    Code phase scales by the fs ratio (acquisition.m:311-314).  For the
+    carrier, the complex mixer always locks the correlation peak at the
+    positive-frequency alias new_if + fd — even when new_if exceeds the
+    resampled Nyquist — so doppler = carrFreq - new_if unconditionally.
+    (Deviation: the reference's mirror branch for IF >= fs/2,
+    acquisition.m:317-325, contradicts its own complex mixing and yields
+    MHz-scale errors on synthesized truth; verified in
+    tests/test_resample.py.)"""
     code_phase = np.floor(
         acq.code_phase / plan.new_fs * plan.old_fs
     ).astype(np.int64)
     carr = np.asarray(acq.carr_freq, dtype=np.float64)
-    if plan.new_if >= plan.new_fs / 2:
-        doppler = (plan.new_fs - plan.new_if) - carr
-    else:
-        doppler = carr - plan.new_if
+    doppler = carr - plan.new_if
     acq.code_phase = code_phase
     acq.carr_freq = doppler + plan.old_if
     return acq
