@@ -104,11 +104,20 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
 
     # offset of the true epoch start inside the nominal window
     off = cursor - start
-    j32 = i32 - off                      # sample index within the epoch
-    j_pos = jnp.maximum(j32, 0)          # clamped for table lookups
-    j_f = j_pos.astype(jnp.float32)
-    k_idx = j_pos // SPLIT
-    r_f = (j_pos % SPLIT).astype(jnp.float32)
+    off_f = off.astype(jnp.float32)
+    if cfg.correlator == "bucket":
+        # keep per-sample index tables STATIC (traced-offset int div/mod is
+        # ~15 ms/epoch on TPU) and fold `off` into scalar phase bases:
+        # theta(j) = rem + j*f == (rem - off*f) + i*f with j = i - off.
+        j_f = i32.astype(jnp.float32)
+        k_idx = i32 // SPLIT
+        r_f = (i32 % SPLIT).astype(jnp.float32)
+    else:
+        j32 = i32 - off                  # sample index within the epoch
+        j_pos = jnp.maximum(j32, 0)
+        j_f = j_pos.astype(jnp.float32)
+        k_idx = j_pos // SPLIT
+        r_f = (j_pos % SPLIT).astype(jnp.float32)
 
     # --- blksize = ceil((L - rem)/step) (tracking.m:230-233) -------------
     e_rel = d_step / jnp.float32(cfg.step_base)       # (step-base)/base
@@ -117,10 +126,14 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
                            + (cfg.q0_int + cfg.q0_frac) * e_rel) * corr
     delta = jnp.ceil(resid).astype(jnp.int32)
     blksize = cfg.q0_int + delta
-    mask = ((j32 >= 0) & (j32 < blksize)).astype(jnp.float32)
+    mask = ((i32 >= off) & (i32 < off + blksize)).astype(jnp.float32)
 
     # --- local carrier (WB_tracking.m:329-346, canonical e^{-j theta}) ---
-    cyc = jnp.mod(carr_t[k_idx] + rem_cyc + r_f * a_base + j_f * d_cyc, 1.0)
+    if cfg.correlator == "bucket":
+        rem_eff = rem_cyc - off_f * (a_base + d_cyc)
+    else:
+        rem_eff = rem_cyc
+    cyc = jnp.mod(carr_t[k_idx] + rem_eff + r_f * a_base + j_f * d_cyc, 1.0)
     ang = (2.0 * np.pi) * cyc
     c, s = jnp.cos(ang), jnp.sin(ang)
     if cfg.complex_input:
