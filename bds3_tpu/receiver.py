@@ -82,9 +82,11 @@ def run_receiver(
     if not channels:
         return ReceiverResults(settings, acq, [], None, None, timings)
 
+    if n_epochs is None:
+        n_epochs = settings.int_epochs
     t0 = time.time()
     trk = track(signal, settings, channels, n_epochs=n_epochs,
-                epochs_per_block=epochs_per_block)
+                epochs_per_block=min(epochs_per_block, n_epochs))
     timings["track_s"] = time.time() - t0
     ms_tracked = trk.n_epochs * settings.int_time * 1e3
     timings["track_realtime_factor"] = ms_tracked / 1e3 / timings["track_s"]
