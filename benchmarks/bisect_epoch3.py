@@ -134,10 +134,17 @@ def main():
     a_base = jnp.asarray(rng.random(C).astype(np.float32))
     args = (block, starts, tables, carr_t, a_base)
 
-    timeit("baseline (static idx)", make_fn(), *args)
-    timeit("+dynamic off/j", make_fn(dyn_off=True), *args)
-    timeit("+mask", make_fn(dyn_off=True, mask_on=True), *args)
-    timeit("+outputs+loopfilter", make_fn(True, True, True, True), *args)
+    which = sys.argv[1] if len(sys.argv) > 1 else "dyn"
+    if which == "dyn":
+        timeit("baseline (static idx)", make_fn(), *args)
+        timeit("+dynamic off/j", make_fn(dyn_off=True), *args)
+        timeit("+mask", make_fn(dyn_off=True, mask_on=True), *args)
+        timeit("+outputs+loopfilter", make_fn(True, True, True, True), *args)
+    else:
+        timeit("static idx baseline", make_fn(), *args)
+        timeit("static +mask", make_fn(False, True), *args)
+        timeit("static +mask+outs+filter", make_fn(False, True, True, True),
+               *args)
 
 
 if __name__ == "__main__":
