@@ -81,6 +81,10 @@ def track(
     signal: full IF capture, int8/float32 (real) or complex64.
     """
     complex_input = np.iscomplexobj(signal)
+    if complex_input:
+        # complex64 windows are 8 bytes/sample: bound the pre-gathered
+        # (W, C, n_win) buffer to ~1 GB
+        epochs_per_block = min(epochs_per_block, 64)
     cfg = make_track_config(settings, complex_input, epochs_per_block)
     if n_epochs is None:
         n_epochs = settings.int_epochs

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.join(
 
 
 def main():
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 3.5
+    # >= 6.1 s guarantees one complete 3 s B-CNAV2 frame in the capture
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 6.5
     s = b2a_settings(acq_satellite_list=(7, 19, 30))
 
     from test_navmsg import sample_eph  # known ephemeris ground truth

@@ -84,6 +84,23 @@ class TestB2aTracking:
             best = max(best, np.mean(signs == ref), np.mean(signs == -ref))
         assert best > 0.99, best
 
+    def test_complex_iq_capture(self):
+        from bds3_tpu.config import FileType
+
+        s = b2a_s(sampling_freq=10e6, intermediate_freq=2.5e6,
+                  file_type=FileType.IQ8)
+        sat = SatParams(prn=19, doppler_hz=400.0, code_phase_chips=500.0,
+                        amplitude=0.8)
+        raw = synthesize_if(s, [sat], n_ms=150.0, noise_std=1.5, seed=12)
+        sig = raw[:, 0].astype(np.float32) + 1j * raw[:, 1].astype(np.float32)
+        acq = acquire(sig, s)
+        assert acq.detected.any()
+        chans = assign_channels(acq, s)
+        res = track(sig.astype(np.complex64), s, chans, n_epochs=120,
+                    epochs_per_block=60)
+        true_f = s.intermediate_freq + sat.doppler_hz
+        assert abs(np.mean(res.carr_freq[0, 100:120]) - true_f) < 1.0
+
     def test_pilot_tracking_mode(self):
         s = b2a_s(track_mode=TrackMode.NARROWBAND)  # data+pilot joint
         sat = SatParams(prn=19, doppler_hz=-900.0, code_phase_chips=100.0,
