@@ -40,9 +40,8 @@ CODE_PAD = 16     # circular padding of code tables (both correlator paths)
 
 
 def window_length(cfg: TrackConfig) -> int:
-    """Static pre-gathered window length: epoch span + in-block drift
-    slack (fractional advance accumulates < 1 sample/epoch) + guard."""
-    return cfg.n_max + cfg.epochs_per_block + 2 * START_GUARD
+    """Static pre-gathered window length (SPLIT-aligned, see state.py)."""
+    return cfg.n_win
 
 
 def _monotone_gather2(p2: jnp.ndarray, iw: jnp.ndarray,
@@ -90,10 +89,13 @@ def _code_indices(cfg: TrackConfig, m: int, ck_int, ck_frac,
     return jnp.mod(idx, lm)
 
 
-def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
+def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start,
+           p_row=None):
     """One tracking epoch for one channel (vmapped over channels).
 
     win: (n_win,) pre-gathered samples beginning at stream index `start`.
+    p_row: optional (n_win, 2) precomputed exclusive i/q prefixes (the
+    pallas mix_prefix kernel output); skips the in-epoch mix+cumsum.
     """
     (cursor, rem_code, rem_cyc, d_cyc, d_step,
      code_nco, code_error, d1_carr, d2_carr) = state_row
@@ -105,7 +107,8 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
     # offset of the true epoch start inside the nominal window
     off = cursor - start
     off_f = off.astype(jnp.float32)
-    if cfg.correlator == "bucket":
+    bucketish = cfg.correlator in ("bucket", "bucket_pallas")
+    if bucketish:
         # keep per-sample index tables STATIC (traced-offset int div/mod is
         # ~15 ms/epoch on TPU) and fold `off` into scalar phase bases:
         # theta(j) = rem + j*f == (rem - off*f) + i*f with j = i - off.
@@ -126,37 +129,39 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
                            + (cfg.q0_int + cfg.q0_frac) * e_rel) * corr
     delta = jnp.ceil(resid).astype(jnp.int32)
     blksize = cfg.q0_int + delta
-    mask = ((i32 >= off) & (i32 < off + blksize)).astype(jnp.float32)
 
-    # --- local carrier (WB_tracking.m:329-346, canonical e^{-j theta}) ---
-    if cfg.correlator == "bucket":
-        rem_eff = rem_cyc - off_f * (a_base + d_cyc)
+    if p_row is not None:
+        # the fused pallas kernel already mixed, masked, and prefix-summed
+        p_iq = p_row                              # (n_win, 2) exclusive
     else:
-        rem_eff = rem_cyc
-    cyc = jnp.mod(carr_t[k_idx] + rem_eff + r_f * a_base + j_f * d_cyc, 1.0)
-    ang = (2.0 * np.pi) * cyc
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    if cfg.complex_input:
-        xr, xi = jnp.real(win), jnp.imag(win)
-        i_bb = (xr * c + xi * s) * mask
-        q_bb = (xi * c - xr * s) * mask
-    else:
-        x = win.astype(jnp.float32)
-        i_bb = x * c * mask
-        q_bb = -(x * s) * mask
+        mask = ((i32 >= off) & (i32 < off + blksize)).astype(jnp.float32)
 
-    if cfg.correlator == "bucket":
-        # Prefix sums once per epoch; each correlator then needs only
-        # ~L boundary lookups instead of N per-sample gathers.
-        p_iq = jnp.stack([
-            jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(i_bb)]),
-            jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(q_bb)]),
-        ], axis=-1)                               # (n_win+1, 2)
-        n_win = win.shape[0]
+        # --- local carrier (WB_tracking.m:329-346, e^{-j theta}) ---------
+        rem_eff = rem_cyc - off_f * (a_base + d_cyc) if bucketish else rem_cyc
+        cyc = jnp.mod(carr_t[k_idx] + rem_eff + r_f * a_base + j_f * d_cyc,
+                      1.0)
+        ang = (2.0 * np.pi) * cyc
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        if cfg.complex_input:
+            xr, xi = jnp.real(win), jnp.imag(win)
+            i_bb = (xr * c + xi * s) * mask
+            q_bb = (xi * c - xr * s) * mask
+        else:
+            x = win.astype(jnp.float32)
+            i_bb = x * c * mask
+            q_bb = -(x * s) * mask
+
+        if bucketish:
+            # Prefix sums once per epoch; each correlator then needs only
+            # ~L boundary lookups instead of N per-sample gathers.
+            p_iq = jnp.stack([
+                jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(i_bb)]),
+                jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(q_bb)]),
+            ], axis=-1)                           # (n_win+1, 2)
 
     def correlate(table, m, ck, off_chips):
         base = rem_code + off_chips
-        if cfg.correlator != "bucket":
+        if not bucketish:
             idx = _code_indices(cfg, m, ck[0], ck[1], base, d_step,
                                 k_idx, r_f, j_f)
             cv = table[idx + CODE_PAD].astype(jnp.float32)
@@ -178,7 +183,9 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start):
         frac_part = k_f * jnp.float32(inv0_frac) + k_f * dinv \
             - (base * m) * inv
         j_k = k_i * inv0_int + jnp.floor(frac_part).astype(jnp.int32) + 1
-        iw = jnp.clip(j_k + off, 0, n_win)        # window-domain boundary
+        # window-domain boundary; past off+blk the (masked) prefix is
+        # constant, so clipping to the last stored entry is exact
+        iw = jnp.clip(j_k + off, 0, p_iq.shape[0] - 1)
         if jax.default_backend() == "cpu":
             g = p_iq[iw]          # CPU gathers are fast; TPU's are serial
         else:
@@ -308,10 +315,38 @@ def track_block(
         lambda s0: jax.lax.dynamic_slice(block, (s0,), (n_win,))
     ))(starts)                                                  # (W, C, n_win)
 
+    use_pallas = cfg.correlator == "bucket_pallas" and not cfg.complex_input
+    if use_pallas:
+        from bds3_tpu.track.pallas_prefix import mix_prefix
+
+        T = n_win // SPLIT
+        tile_idx = jnp.arange(T, dtype=jnp.float32) * float(SPLIT)
+        a_base_c = jnp.asarray(consts.a_base)
+        carr_t_c = jnp.asarray(consts.carr_t)[:, :T]
+
     def step(carry, xs):
         win_row, start_row = xs
 
-        def one_channel(st_row, dtab, p11tab, p61tab, c_row, w, s0):
+        if use_pallas:
+            # fused mix+mask+prefix for all channels in one pallas call
+            (cursor, rem_code, rem_cyc, d_cyc, d_step, *_rest) = carry
+            off = cursor - start_row
+            e_rel = d_step / jnp.float32(cfg.step_base)
+            resid = cfg.q0_frac - (
+                rem_code / jnp.float32(cfg.step_base)
+                + (cfg.q0_int + cfg.q0_frac) * e_rel
+            ) * (1.0 - e_rel + e_rel * e_rel)
+            blk = cfg.q0_int + jnp.ceil(resid).astype(jnp.int32)
+            slope = a_base_c + d_cyc
+            rem_eff = rem_cyc - off.astype(jnp.float32) * slope
+            base = carr_t_c + rem_eff[:, None] \
+                + tile_idx[None, :] * d_cyc[:, None]
+            p_i, p_q = mix_prefix(win_row, base, slope, off, blk)
+            p_rows = jnp.stack([p_i, p_q], axis=-1)   # (C, n_win, 2)
+        else:
+            p_rows = None
+
+        def one_channel(st_row, dtab, p11tab, p61tab, c_row, w, s0, p_row):
             tables = {
                 "data": dtab,
                 "pilot11": p11tab,
@@ -319,12 +354,13 @@ def track_block(
                 "ck_data": (ck_data_int, ck_data_frac),
                 "ck_p61": (ck_p61_int, ck_p61_frac),
             }
-            return _epoch(cfg, tables, c_row, st_row, w, s0)
+            return _epoch(cfg, tables, c_row, st_row, w, s0, p_row)
 
         new_state, out = jax.vmap(
-            one_channel, in_axes=(0, 0, 0, 0, 0, 0, 0)
+            one_channel, in_axes=(0, 0, 0, 0, 0, 0, 0,
+                                  0 if use_pallas else None)
         )(carry, data_tables, pilot11_tables, pilot61_tables,
-          tuple(consts)[:5], win_row, start_row)
+          tuple(consts)[:5], win_row, start_row, p_rows)
         return new_state, out
 
     init = tuple(jnp.asarray(x) for x in state)

@@ -40,7 +40,8 @@ class TrackConfig:
     m_data: int               # table entries per chip (1 B2a, 2 B1C BOC11)
     m_p61: int                # 12 for B1C WB, else 0
     n_max: int                # fixed per-epoch sample window
-    k_max: int                # coarse-table length = ceil(n_max/SPLIT)+1
+    n_win: int                # pre-gathered window length (SPLIT multiple)
+    k_max: int                # coarse-table length = n_win/SPLIT + 1
     q0_int: int               # int part of nominal samples/epoch L/step
     q0_frac: float            # frac part
     step_base: float          # nominal chips/sample (f64 as python float)
@@ -130,6 +131,10 @@ def make_track_config(s: Settings, complex_input: bool = False,
     q0 = s.code_length / step_base
     q0_int = int(np.floor(q0))
     n_max = q0_int + 4
+    # pre-gathered window: epoch + in-block drift slack + guards, rounded
+    # to a whole number of SPLIT tiles (the pallas prefix kernel's tile)
+    n_win = n_max + epochs_per_block + 2 * 16
+    n_win = -(-n_win // SPLIT) * SPLIT
     tau1, tau2 = dll_coefficients(s.dll_bw, s.dll_damping, 1.0)
     pf3, pf2, pf1 = pll_coefficients(s.pll_bw, s.int_time)
     dll_factor = (
@@ -148,7 +153,8 @@ def make_track_config(s: Settings, complex_input: bool = False,
         m_data=m_data,
         m_p61=m_p61,
         n_max=n_max,
-        k_max=n_max // SPLIT + 2,
+        n_win=n_win,
+        k_max=n_win // SPLIT + 1,
         q0_int=q0_int,
         q0_frac=float(q0 - q0_int),
         step_base=step_base,

@@ -20,8 +20,9 @@ from bds3_tpu.track.state import (
 def main():
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     C = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    corr = sys.argv[3] if len(sys.argv) > 3 else "bucket"
     s = b2a_settings()
-    cfg = make_track_config(s, epochs_per_block=W)
+    cfg = make_track_config(s, epochs_per_block=W, correlator=corr)
     inits = [ChannelInit(prn=1 + i % 30, acquired_freq=s.intermediate_freq + 50.0 * i,
                          code_phase=137 * i, peak_metric=2.0) for i in range(C)]
     consts = channel_consts(cfg, inits, s)
@@ -53,7 +54,7 @@ def main():
         force()
     dt = (time.time() - t0) / reps
     ms_signal = W * s.int_time * 1e3
-    print(f"steady: {dt:.3f}s for {W} epochs x {C}ch "
+    print(f"[{cfg.correlator}] steady: {dt:.3f}s for {W} epochs x {C}ch "
           f"-> {dt/W*1e3:.2f} ms/epoch, {ms_signal/1e3/dt:.2f}x realtime")
 
 

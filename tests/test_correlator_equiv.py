@@ -30,7 +30,7 @@ class TestCorrelatorEquivalence:
         from bds3_tpu.track.state import make_track_config
 
         res = {}
-        for corr in ("bucket", "gather"):
+        for corr in ("bucket", "gather", "bucket_pallas"):
             orig = drv.make_track_config
 
             def patched(st, complex_input=False, epochs_per_block=100,
@@ -47,6 +47,10 @@ class TestCorrelatorEquivalence:
         for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp"):
             a = res["bucket"].outputs[k][0]
             b = res["gather"].outputs[k][0]
+            c = res["bucket_pallas"].outputs[k][0]
+            scale0 = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(c / scale0, a / scale0, atol=2e-2,
+                                       err_msg="pallas:" + k)
             scale = np.abs(b).mean() + 1.0
             # ~1% agreement: the two index computations round a few
             # chip-boundary samples differently in f32, and the closed
@@ -55,4 +59,8 @@ class TestCorrelatorEquivalence:
                                        err_msg=k)
         np.testing.assert_allclose(
             res["bucket"].carr_freq[0], res["gather"].carr_freq[0], atol=0.05
+        )
+        np.testing.assert_allclose(
+            res["bucket_pallas"].carr_freq[0], res["bucket"].carr_freq[0],
+            atol=0.05,
         )
