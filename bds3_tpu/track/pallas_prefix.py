@@ -51,6 +51,7 @@ def _tile_exclusive_prefix(x):
 
 def _kernel(base_ref, slope_ref, off_ref, blk_ref, win_ref,
             pi_ref, pq_ref, carry):
+    ch = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -58,16 +59,16 @@ def _kernel(base_ref, slope_ref, off_ref, blk_ref, win_ref,
         carry[0] = 0.0
         carry[1] = 0.0
 
-    x = win_ref[0, :].astype(jnp.float32).reshape(ROWS, LANES)
+    x = win_ref[0].astype(jnp.float32)          # (ROWS, LANES)
     lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
     gidx = t * SPLIT + lin
 
-    cyc = jnp.mod(base_ref[0, 0] + lin.astype(jnp.float32) * slope_ref[0, 0],
+    cyc = jnp.mod(base_ref[ch, t] + lin.astype(jnp.float32) * slope_ref[ch],
                   1.0)
     ang = (2.0 * np.pi) * cyc
-    off = off_ref[0, 0]
-    blk = blk_ref[0, 0]
+    off = off_ref[ch]
+    blk = blk_ref[ch]
     mask = ((gidx >= off) & (gidx < off + blk)).astype(jnp.float32)
     xm = x * mask
     ib = xm * jnp.cos(ang)
@@ -75,8 +76,8 @@ def _kernel(base_ref, slope_ref, off_ref, blk_ref, win_ref,
 
     ei, ti = _tile_exclusive_prefix(ib)
     eq, tq = _tile_exclusive_prefix(qb)
-    pi_ref[0, :] = (ei + carry[0]).reshape(SPLIT)
-    pq_ref[0, :] = (eq + carry[1]).reshape(SPLIT)
+    pi_ref[0] = ei + carry[0]
+    pq_ref[0] = eq + carry[1]
     carry[0] += ti
     carry[1] += tq
 
@@ -95,33 +96,26 @@ def _mix_prefix(windows, base, slope, off, blk, interpret=False):
     c, n_win = windows.shape
     t = n_win // SPLIT
     grid = (c, t)
+    win3 = windows.reshape(c, n_win // LANES, LANES)
     out_shape = [
-        jax.ShapeDtypeStruct((c, n_win), jnp.float32),
-        jax.ShapeDtypeStruct((c, n_win), jnp.float32),
+        jax.ShapeDtypeStruct((c, n_win // LANES, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((c, n_win // LANES, LANES), jnp.float32),
     ]
-    return pl.pallas_call(
+    vspec = pl.BlockSpec((1, ROWS, LANES), lambda ci, ti: (ci, ti, 0),
+                         memory_space=pltpu.VMEM)
+    p_i, p_q = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.SMEM),      # base
-            pl.BlockSpec((1, 1), lambda ci, ti: (ci, 0),
-                         memory_space=pltpu.SMEM),      # slope
-            pl.BlockSpec((1, 1), lambda ci, ti: (ci, 0),
-                         memory_space=pltpu.SMEM),      # off
-            pl.BlockSpec((1, 1), lambda ci, ti: (ci, 0),
-                         memory_space=pltpu.SMEM),      # blk
-            pl.BlockSpec((1, SPLIT), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),      # window tile
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # base (C, T)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # slope (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # off (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blk (C,)
+            vspec,                                      # window tile
         ],
-        out_specs=[
-            pl.BlockSpec((1, SPLIT), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SPLIT), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[vspec, vspec],
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
         interpret=interpret,
-    )(base, slope.reshape(c, 1), off.reshape(c, 1).astype(jnp.int32),
-      blk.reshape(c, 1).astype(jnp.int32), windows)
+    )(base, slope, off.astype(jnp.int32), blk.astype(jnp.int32), win3)
+    return p_i.reshape(c, n_win), p_q.reshape(c, n_win)
