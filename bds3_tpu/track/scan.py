@@ -361,8 +361,27 @@ def track_block(
                                   0 if use_pallas else None)
         )(carry, data_tables, pilot11_tables, pilot61_tables,
           tuple(consts)[:5], win_row, start_row, p_rows)
-        return new_state, out
+        # pack all outputs into ONE scan leaf: each extra leaf costs a
+        # dynamic-update-slice per iteration on TPU
+        names = sorted(out.keys())
+        packed = jnp.stack([out[k].astype(jnp.float32) for k in names])
+        return new_state, packed
 
     init = tuple(jnp.asarray(x) for x in state)
-    final, outs = jax.lax.scan(step, init, (windows, starts))
+    final, packed = jax.lax.scan(step, init, (windows, starts))  # (W, F, C)
+    names = output_names(cfg)
+    outs = {k: packed[:, i, :] for i, k in enumerate(names)}
     return ChannelState(*final), outs
+
+
+def output_names(cfg: TrackConfig) -> list[str]:
+    """Sorted per-epoch output keys emitted by _epoch for this config."""
+    names = [f"d_{c}{t}" for c in ("i", "q") for t in ("e", "p", "l")]
+    if cfg.use_pilot:
+        names += [f"p11_{c}{t}" for c in ("i", "q") for t in ("e", "p", "l")]
+    if cfg.wideband:
+        names += [f"p61_{c}{t}" for c in ("i", "q") for t in ("e", "p", "l")]
+        names += [f"p_{c}{t}" for c in ("i", "q") for t in ("e", "p", "l")]
+    names += ["carr_err", "code_err", "carr_nco", "code_nco",
+              "d_cyc", "d_step", "rem_code_phase", "rem_carr_cyc", "blksize"]
+    return sorted(names)
