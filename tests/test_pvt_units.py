@@ -36,8 +36,9 @@ class TestTransmitTimes:
         # measurement point exactly at the end of epoch 20 (0-based)
         curr = int(abs_s[0, 20])
         tt = transmit_times(trk, [0], sub, tow, curr, s)
-        # epochs since frame start = 20 - 10, each one code period (1 ms)
-        expect = 5000.0 + (20 - 10) * 1e-3
+        # exact anchoring: end of epoch e is (e - sfs + 1) code periods
+        # after the frame start (see pseudorange.py deviation note)
+        expect = 5000.0 + (20 - 10 + 1) * 1e-3
         assert tt[0] == pytest.approx(expect, abs=1e-12)
 
         # half a code period later
