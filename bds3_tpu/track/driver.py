@@ -75,17 +75,40 @@ def track(
     inits: list[ChannelInit],
     n_epochs: int | None = None,
     epochs_per_block: int = 100,
+    correlator: str = "auto",
+    download: bool = True,
 ) -> TrackResults:
     """Track all channels for n_epochs integration periods.
 
-    signal: full IF capture, int8/float32 (real) or complex64.
+    signal: full IF capture, int8/float32 (real) or complex64.  Pass a
+    device-resident jax.Array to skip the per-block host->device upload
+    (blocks are sliced on-device).
+    correlator: "auto" picks the fully-fused pallas kernel on TPU when
+    the config supports it, else the XLA bucket correlator; explicit
+    values ("fused", "bucket", "bucket_pallas", "gather") force a path.
+    download: when False, TrackResults carries lazy device arrays (no
+    device->host transfer) — use for throughput runs / pipelining; call
+    np.asarray on the fields (or rerun with download=True) to realize.
     """
+    import jax
+
     complex_input = np.iscomplexobj(signal)
     if complex_input:
         # complex64 windows are 8 bytes/sample: bound the pre-gathered
         # (W, C, n_win) buffer to ~1 GB
         epochs_per_block = min(epochs_per_block, 64)
     cfg = make_track_config(settings, complex_input, epochs_per_block)
+    if correlator == "auto":
+        # keep whatever the (possibly monkeypatched) config factory chose
+        # unless it is the plain default; then prefer the fused TPU kernel
+        if cfg.correlator == "bucket":
+            from bds3_tpu.track.pallas_fused import fused_supported
+
+            if jax.default_backend() == "tpu" \
+                    and fused_supported(cfg, len(inits)):
+                cfg = dataclasses.replace(cfg, correlator="fused")
+    elif correlator != cfg.correlator:
+        cfg = dataclasses.replace(cfg, correlator=correlator)
     if n_epochs is None:
         n_epochs = settings.int_epochs
 
@@ -145,9 +168,13 @@ def track(
             break  # out of data: return partial results (tracking.m:250-254)
         block = signal[s0 : s0 + block_len]
         if len(block) < block_len:
-            block = np.concatenate(
-                [block, np.zeros(block_len - len(block), block.dtype)]
-            )
+            pad = block_len - len(block)
+            if isinstance(block, jax.Array):
+                block = jnp.pad(block, (0, pad))
+            else:
+                block = np.concatenate(
+                    [block, np.zeros(pad, block.dtype)]
+                )
         if not complex_input and block.dtype != np.int8:
             block = block.astype(np.float32)
         new_state, outs = track_block(
@@ -167,8 +194,25 @@ def track(
     if not out_chunks:
         raise ValueError("not enough signal for a single tracking block")
 
+    stacked_dev = jnp.concatenate(out_chunks, axis=1)          # (F, E, C)
+    base = np.array([c.acquired_freq for c in inits], dtype=np.float64)
+    if not download:
+        # lazy mode: outputs stay on device (throughput runs, pipelining);
+        # the f64 derived fields need host numpy, so they are omitted
+        outputs = {k: stacked_dev[i][:n_epochs].T
+                   for i, k in enumerate(names)}
+        return TrackResults(
+            prns=np.array([c.prn for c in inits]),
+            acquired_freq=base,
+            n_epochs=int(outputs["d_ip"].shape[1]),
+            outputs=outputs,
+            absolute_sample=None, carr_freq=None, code_freq=None,
+            int_time=settings.int_time,
+            settings=settings,
+        )
+
     # single packed download for the whole run
-    stacked = np.asarray(jnp.concatenate(out_chunks, axis=1))  # (F, E, C)
+    stacked = np.asarray(stacked_dev)
     outputs = {
         k: np.ascontiguousarray(stacked[i][:n_epochs].T)
         for i, k in enumerate(names)
@@ -182,7 +226,6 @@ def track(
         (cursors0[None, :] + np.cumsum(blks, axis=0)).T
     )
 
-    base = np.array([c.acquired_freq for c in inits], dtype=np.float64)
     carr_freq = base[:, None] + outputs["d_cyc"].astype(np.float64) * cfg.fs
     code_freq = settings.code_freq_basis \
         + outputs["d_step"].astype(np.float64) * cfg.fs

@@ -1,0 +1,516 @@
+"""Fully-fused multi-epoch Pallas TPU tracking kernel.
+
+One `pallas_call` runs `epochs_per_block` closed-loop tracking epochs for
+all channels: grid = (epoch,), iterated sequentially on the TensorCore
+with the per-channel DLL/PLL loop state carried in SMEM scratch across
+grid steps and the channels iterated by an in-kernel `fori_loop` (one
+grid step per epoch keeps the per-step pipeline overhead off the epoch
+critical path).  Each epoch x channel fuses, entirely in VMEM:
+
+  1. carrier mix + validity mask + exclusive prefix sums of the epoch's
+     sample window: the lane-exclusive prefix is one MXU matmul against
+     a strictly-upper-triangular matrix, the 32-row offsets a log-roll
+     pass (the XLA chain cast/cos/sin/mask/multiply/2x cumsum was several
+     HBM round trips per epoch),
+  2. the prefix-sum (bucket) correlator's chip-boundary lookups — a
+     (row, lane) decomposition: an 8-aligned dynamic slice of the prefix
+     scratch, a one-hot row-select matmul on the MXU (batched over all
+     three E/P/L offsets = 768 one-hot columns), and a lane-select
+     mask-reduce on the VPU,
+  3. the E/P/L correlator dot products against host-precomputed
+     "boundary-difference" code vectors (Abel summation of the bucket
+     form: sum_k c_k (P[j_{k+1}]-P[j_k]) == sum_v (c_{v-1}-c_v) P[j_v]),
+  4. the discriminators (atan via a Cephes-style polynomial — Mosaic has
+     no native atan), the 2nd-order DLL / 3rd-order PLL filters, and the
+     phase-remainder updates (`tracking.m:334-389`, `tracking.m:156-164`).
+
+The only HBM traffic per epoch is the int8 window blocks in and one
+packed 49 KB output row per channel out.  Numerics follow
+track/scan.py's bucket correlator to float32 tolerance (the boundary
+index split here is slightly *more* precise: the k*frac ramp is rebased
+per boundary tile from host float64 tables).
+
+Supported configs: real-valued input, no BOC(6,1) taps (B2a all modes,
+B1C narrowband/data-only), window buffers within the VMEM budget.
+Other configs fall back to the scan path (track/scan.py dispatches).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bds3_tpu.config import Signal
+from bds3_tpu.track.state import SPLIT, ChannelState
+
+ROWS, LANES = 32, 128        # stage-1 tile = (32, 128) = SPLIT samples
+START_GUARD = 16             # must match track.scan.START_GUARD
+CODE_PAD = 16                # must match track.scan.CODE_PAD
+BT = 256                     # boundary-tile size (chip boundaries per step)
+VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _geometry(cfg) -> dict:
+    m = cfg.m_data
+    lm = cfg.code_length * m
+    kb = lm + 2 * CODE_PAD + 1          # boundary count (scan.py k_i range)
+    kp = _round_up(kb, BT)
+    tk = kp // BT
+    inv0 = 1.0 / (cfg.step_base * m)    # samples per table entry, host f64
+    inv0_int = int(np.floor(inv0))
+    inv0_frac = float(inv0 - inv0_int)
+    r = cfg.n_win // LANES              # prefix rows; n_win % 4096 == 0
+    # row-select slice height: worst-case span of one boundary tile's rows
+    # after flooring the start row to a multiple of 8 (7*128+127 slack),
+    # plus the early-late correlator offset spread
+    span = 1023 + int(np.ceil((BT - 1) * inv0)) \
+        + int(np.ceil(2.0 * cfg.spacing * m * inv0)) + 8
+    s_rows = _round_up(span // LANES + 2, 8)
+    rp = r + s_rows                     # scratch rows (slice stays in range)
+    return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, inv0_int=inv0_int,
+                inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp,
+                T=cfg.n_win // SPLIT)
+
+
+def fused_supported(cfg, n_channels: int = 12) -> bool:
+    """Whether this TrackConfig fits the fused kernel (shape + VMEM)."""
+    if cfg.complex_input or cfg.m_p61:
+        return False
+    geo = _geometry(cfg)
+    win_b = 1 if cfg.complex_input else 1
+    vmem = (geo["RP"] * 256 * 4                       # prefix scratch
+            + 2 * n_channels * cfg.n_win * win_b      # window double buffer
+            + n_channels * 2 * geo["kp"] * 4          # dcode tables
+            + 2 * n_channels * 8 * LANES * 4)         # output blocks
+    return vmem <= VMEM_BUDGET
+
+
+def _boundary_tile_tables(cfg, geo) -> tuple[np.ndarray, np.ndarray]:
+    """Host-f64 split of (k_i * inv0_frac) at each boundary tile start:
+    g(k) = tb_frac[kt] + u*inv0_frac reproduces scan.py's k_f*inv0_frac
+    ramp with per-tile rebasing (k_i = kt*BT + u - CODE_PAD)."""
+    kt = np.arange(geo["TK"], dtype=np.float64)
+    val = (kt * BT - CODE_PAD) * geo["inv0_frac"]
+    tb_int = np.floor(val).astype(np.int32)
+    tb_frac = (val - np.floor(val)).astype(np.float32)
+    return tb_int, tb_frac
+
+
+def atan_poly(x):
+    """float32 arctan to ~1.4e-7 abs (Cephes atanf ranges); Mosaic has no
+    native atan lowering."""
+    sgn = jnp.sign(x)
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095
+    mid = ax > 0.41421356237309503
+    x1 = jnp.where(big, -1.0 / jnp.where(big, ax, 1.0),
+                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    z = x1 * x1
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * x1 + x1
+    return sgn * jnp.where(
+        big, np.float32(np.pi / 2) + p,
+        jnp.where(mid, np.float32(np.pi / 4) + p, p))
+
+
+def _out_slots(cfg) -> list[str]:
+    from bds3_tpu.track.scan import output_names
+
+    return output_names(cfg) + [
+        "st_rem_code", "st_rem_cyc", "st_d_cyc", "st_d_step",
+        "st_code_nco", "st_code_err", "st_d1", "st_d2",
+    ]
+
+
+def _make_kernel(cfg, geo, n_channels):
+    C = n_channels
+    T, TK, R, S, RP = geo["T"], geo["TK"], geo["R"], geo["S"], geo["RP"]
+    m = geo["m"]
+    inv0_int = geo["inv0_int"]
+    inv0_frac_f = np.float32(geo["inv0_frac"])
+    n_win = cfg.n_win
+    step_base = np.float32(cfg.step_base)
+    sbm = np.float32(cfg.step_base * m)
+    q0_int_f = np.float32(cfg.q0_int)
+    q0_frac = np.float32(cfg.q0_frac)
+    q0_step_minus_l = np.float32(cfg.q0_int * cfg.step_base - cfg.code_length)
+    spc = float(cfg.spacing)
+    inv2pi = np.float32(1.0 / (2.0 * np.pi))
+    is_b1c = cfg.signal == Signal.B1C
+    use_pilot = cfg.use_pilot
+    two_pi = np.float32(2.0 * np.pi)
+    bisect = os.environ.get("FUSED_BISECT", "full")
+    slots = _out_slots(cfg)
+
+    def kernel(cursor0_s, adv_s, carr_s, abase_s, q0cyc_s, dstep0_s,
+               tbint_s, tbfrac_s, statef_s, cursorin_s, win_ref, dcode_ref,
+               out_ref, curout_s, p_scr, stf, sti):
+        w = pl.program_id(0)
+
+        # hoisted constants (shared across channels)
+        lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
+               + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+        lin_f = lin.astype(jnp.float32)
+        # strictly-upper triangular: x @ U = per-row exclusive lane prefix
+        utri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                ).astype(jnp.float32)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+        u_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
+        u_f = u_i.astype(jnp.float32)
+        iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, 3 * BT), 0)
+        iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 3 * BT), 0)
+        iota_o = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        @pl.when(w == 0)
+        def _():
+            for i in range(8):
+                for c0 in range(C):
+                    stf[c0, i] = statef_s[c0, i]
+            for c0 in range(C):
+                sti[c0, 0] = cursorin_s[c0]
+
+        def one_channel(c, _):
+            rem_code = stf[c, 0]
+            rem_cyc = stf[c, 1]
+            d_cyc = stf[c, 2]
+            d_step = stf[c, 3]
+            code_nco = stf[c, 4]
+            code_error = stf[c, 5]
+            d1_carr = stf[c, 6]
+            d2_carr = stf[c, 7]
+            cursor = sti[c, 0]
+
+            # window start: must match the host pre-gather exactly
+            s_nom = cursor0_s[c] + w * adv_s[c] - START_GUARD
+            s_al = jnp.maximum((s_nom >> 7) << 7, 0)
+            off = cursor - s_al
+            off_f = off.astype(jnp.float32)
+
+            # --- blksize = ceil((L - rem)/step), scan.py:125-131 ---------
+            e_rel = d_step / step_base
+            corr1 = 1.0 - e_rel + e_rel * e_rel
+            resid = q0_frac - (rem_code / step_base
+                               + (q0_int_f + q0_frac) * e_rel) * corr1
+            delta = jnp.ceil(resid).astype(jnp.int32)
+            blksize = cfg.q0_int + delta
+
+            a_base = abase_s[c]
+            slope = a_base + d_cyc
+            rem_eff = rem_cyc - off_f * slope
+
+            # --- stage 1: mix + mask + exclusive prefix into p_scr -------
+            def stage1(t, carry):
+                ci, cq = carry
+                x = win_ref[0, c, pl.ds(t * ROWS, ROWS), :].astype(
+                    jnp.float32)
+                gidx = t * SPLIT + lin
+                base_t = carr_s[c, t] + rem_eff \
+                    + (t * SPLIT).astype(jnp.float32) * d_cyc
+                cyc = jnp.mod(base_t + lin_f * slope, 1.0)
+                ang = two_pi * cyc
+                mask = ((gidx >= off) & (gidx < off + blksize)
+                        ).astype(jnp.float32)
+                xm = x * mask
+                ib = xm * jnp.cos(ang)
+                qb = -(xm * jnp.sin(ang))
+                xiq = jnp.concatenate([ib, qb], axis=0)          # (64, 128)
+                lexc = jnp.dot(xiq, utri,
+                               preferred_element_type=jnp.float32)
+                rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]  # (64, 1)
+
+                def rowexc(rt):
+                    inc = rt
+                    for sft in (1, 2, 4, 8, 16):
+                        inc = inc + jnp.where(iota_r >= sft,
+                                              pltpu.roll(inc, sft, 0), 0.0)
+                    return inc - rt, inc[ROWS - 1, 0]
+
+                ri, ti = rowexc(rtot[0:ROWS])
+                rq, tq = rowexc(rtot[ROWS:])
+                p_scr[pl.ds(t * ROWS, ROWS), 0:128] = lexc[0:ROWS] + (ri + ci)
+                p_scr[pl.ds(t * ROWS, ROWS), 128:256] = \
+                    lexc[ROWS:] + (rq + cq)
+                return ci + ti, cq + tq
+
+            t1 = 1 if bisect == "nostage1" else T
+            tot_i, tot_q = jax.lax.fori_loop(
+                0, t1, stage1, (jnp.float32(0.0), jnp.float32(0.0)),
+                unroll=t1)
+            # P[n_win] lives at (row R, lane 0); rows >= R must be finite
+            # (0-weight x NaN would poison the row-select matmul)
+            p_scr[pl.ds(R, RP - R), 0:128] = jnp.full((RP - R, 128), tot_i)
+            p_scr[pl.ds(R, RP - R), 128:256] = jnp.full((RP - R, 128), tot_q)
+
+            # --- stage 2: boundary lookups + correlator dots -------------
+            smm = sbm + d_step * m
+            inv = 1.0 / smm
+            dinv = inv - jnp.float32(inv0_int) - inv0_frac_f
+
+            # one iteration = one BT-boundary tile x all three E/P/L
+            # offsets (batched as 3*BT one-hot columns through one matmul)
+            def stage2(kt, acc):
+                ki0 = kt * BT - CODE_PAD
+                ki0_f = ki0.astype(jnp.float32)
+                ki_f = ki0_f + u_f
+                tbf = tbfrac_s[kt]
+                tbi = tbint_s[kt]
+                jbase = ki0 * inv0_int + tbi + 1 + off
+
+                j_parts, j0s = [], []
+                for d_idx in range(3):
+                    base = rem_code + (d_idx - 1) * spc
+                    bmi = (base * m) * inv
+                    g0 = tbf + ki0_f * dinv - bmi
+                    j0s.append(jbase + jnp.floor(g0).astype(jnp.int32))
+                    g = tbf + u_f * inv0_frac_f + ki_f * dinv - bmi
+                    j_parts.append(jbase + u_i * inv0_int
+                                   + jnp.floor(g).astype(jnp.int32))
+                j0 = jnp.clip(jnp.minimum(j0s[0], j0s[2]), 0, n_win)
+                q0a = pl.multiple_of(((j0 >> 7) >> 3) << 3, 8)
+                j3 = jnp.clip(jnp.concatenate(j_parts, axis=1), 0, n_win)
+                row_rel = (j3 >> 7) - q0a                       # (1, 3*BT)
+                lane = j3 & 127
+
+                rowoh = (iota_s3 == row_rel).astype(jnp.float32)
+                sl = p_scr[pl.ds(q0a, S), :]                    # (S, 256)
+                gsel = jax.lax.dot_general(
+                    sl, rowoh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (256, 3*BT)
+                lmask = (iota_l3 == lane).astype(jnp.float32)
+                vi = jnp.sum(gsel[0:128] * lmask, axis=0, keepdims=True)
+                vq = jnp.sum(gsel[128:256] * lmask, axis=0, keepdims=True)
+
+                wd = dcode_ref[c, 0, pl.ds(kt, 1), :]           # (1, BT)
+                if use_pilot:
+                    wp = dcode_ref[c, 1, pl.ds(kt, 1), :]
+                cont = []
+                for d_idx in range(3):
+                    seg = slice(d_idx * BT, (d_idx + 1) * BT)
+                    cont += [jnp.sum(wd * vi[:, seg]),
+                             jnp.sum(wd * vq[:, seg])]
+                    if use_pilot:
+                        cont += [jnp.sum(wp * vi[:, seg]),
+                                 jnp.sum(wp * vq[:, seg])]
+                return tuple(a + cn for a, cn in zip(acc, cont))
+
+            nper = 4 if use_pilot else 2
+            acc0 = tuple(jnp.float32(0.0) for _ in range(3 * nper))
+            n_s2 = 0 if bisect == "nostage2" else TK
+            acc = jax.lax.fori_loop(0, n_s2, stage2, acc0, unroll=max(n_s2, 1))
+            if bisect == "nostage2":
+                acc = tuple(a + tot_i for a in acc)
+            # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)]
+            o = {}
+            tapn = ("e", "p", "l")
+            for t_i in range(3):
+                o[f"d_i{tapn[t_i]}"] = acc[t_i * nper + 0]
+                o[f"d_q{tapn[t_i]}"] = acc[t_i * nper + 1]
+                if use_pilot:
+                    o[f"p11_i{tapn[t_i]}"] = acc[t_i * nper + 2]
+                    o[f"p11_q{tapn[t_i]}"] = acc[t_i * nper + 3]
+
+            # --- discriminators (scan.py:211-249) -------------------------
+            def eml(ie, qe, il, ql):
+                e = jnp.sqrt(ie * ie + qe * qe)
+                l = jnp.sqrt(il * il + ql * ql)
+                return (e - l) / (e + l)
+
+            carr_d = atan_poly(o["d_qp"] / o["d_ip"]) * inv2pi
+            code_d = eml(o["d_ie"], o["d_qe"], o["d_il"], o["d_ql"])
+            if is_b1c:
+                code_d = code_d * (1.0 - spc)
+            if not use_pilot:
+                carr_err, code_err = carr_d, code_d
+            else:
+                carr_p = atan_poly(-o["p11_ip"] / o["p11_qp"]) * inv2pi
+                code_p = eml(o["p11_ie"], o["p11_qe"],
+                             o["p11_il"], o["p11_ql"])
+                if is_b1c:
+                    code_p = code_p * (1.0 - spc)
+                    carr_err = (carr_d * 11.0 + carr_p * 29.0) / 40.0
+                    code_err = (code_d * 11.0 + code_p * 29.0) / 40.0
+                else:
+                    carr_err = 0.5 * (carr_d + carr_p)
+                    code_err = 0.5 * (code_d + code_p)
+
+            # --- loop filters + remainders (scan.py:251-273) --------------
+            d2_new = d2_carr + carr_err * jnp.float32(cfg.pf3)
+            d1_new = d2_new + carr_err * jnp.float32(cfg.pf2) + d1_carr
+            carr_nco = d1_new + carr_err * jnp.float32(cfg.pf1)
+            d_cyc_new = carr_nco / jnp.float32(cfg.fs)
+
+            code_nco_new = code_nco \
+                + jnp.float32(cfg.tau2 / cfg.tau1) * (code_err - code_error) \
+                + code_err * jnp.float32(cfg.int_time / cfg.tau1)
+            d_step_new = dstep0_s[c] - code_nco_new / jnp.float32(cfg.fs)
+
+            delta_f = delta.astype(jnp.float32)
+            blk_f = blksize.astype(jnp.float32)
+            rem_cyc_new = jnp.mod(
+                rem_cyc + q0cyc_s[c] + delta_f * a_base + blk_f * d_cyc, 1.0)
+            rem_code_new = rem_code + q0_step_minus_l \
+                + delta_f * step_base + blk_f * d_step
+
+            stf[c, 0] = rem_code_new
+            stf[c, 1] = rem_cyc_new
+            stf[c, 2] = d_cyc_new
+            stf[c, 3] = d_step_new
+            stf[c, 4] = code_nco_new
+            stf[c, 5] = code_err
+            stf[c, 6] = d1_new
+            stf[c, 7] = d2_new
+            sti[c, 0] = cursor + blksize
+            curout_s[c] = cursor + blksize
+
+            o.update(
+                carr_err=carr_err, code_err=code_err,
+                carr_nco=carr_nco, code_nco=code_nco_new,
+                d_cyc=d_cyc, d_step=d_step,
+                rem_code_phase=rem_code, rem_carr_cyc=rem_cyc,
+                blksize=blk_f,
+                st_rem_code=rem_code_new, st_rem_cyc=rem_cyc_new,
+                st_d_cyc=d_cyc_new, st_d_step=d_step_new,
+                st_code_nco=code_nco_new, st_code_err=code_err,
+                st_d1=d1_new, st_d2=d2_new,
+            )
+            row = jnp.zeros((1, LANES), jnp.float32)
+            for idx, name in enumerate(slots):
+                row = row + jnp.where(iota_o == idx, o[name], 0.0)
+            out_ref[0, c] = jnp.broadcast_to(row, (8, LANES))
+            return 0
+
+        jax.lax.fori_loop(0, C, one_channel, 0)
+
+    return kernel
+
+
+def fused_track_block(cfg, block, data_tables, pilot11_tables,
+                      consts, state, interpret=None):
+    """Drop-in replacement for the scan path: returns
+    (new ChannelState, outputs dict of (W, C) float32 arrays).
+
+    block: (B,) int8/float32 real samples.
+    data_tables/pilot11_tables: (C, lm + 2*CODE_PAD) circularly padded
+    chips (track.driver.channel_code_tables layout).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    geo = _geometry(cfg)
+    slots = _out_slots(cfg)
+    if len(slots) > LANES:
+        raise ValueError("too many output slots for one lane row")
+
+    C = data_tables.shape[0]
+    W = cfg.epochs_per_block
+    tb_int, tb_frac = _boundary_tile_tables(cfg, geo)
+
+    # Abel-summation weights: w_v = ext_{v-1} - ext_v over the padded
+    # chip table (zeros outside), padded to TK*BT boundary slots.
+    def dcode_of(tab):
+        ext = tab.astype(jnp.float32)                     # (C, lm+2*PAD)
+        z = jnp.zeros((C, 1), jnp.float32)
+        wv = jnp.concatenate([z, ext], axis=1) \
+            - jnp.concatenate([ext, z], axis=1)           # (C, kb)
+        return jnp.pad(wv, ((0, 0), (0, geo["kp"] - geo["kb"])))
+
+    dcode = jnp.stack([
+        dcode_of(data_tables),
+        dcode_of(pilot11_tables) if cfg.use_pilot
+        else jnp.zeros((C, geo["kp"]), jnp.float32),
+    ], axis=1).reshape(C, 2, geo["TK"], BT)
+
+    cursor0 = jnp.asarray(state.cursor, jnp.int32)
+    adv_int = jnp.asarray(consts.adv_int, jnp.int32)
+
+    # pre-gathered, 128-aligned epoch windows (must match the kernel's
+    # s_al recomputation exactly)
+    e_idx = jnp.arange(W, dtype=jnp.int32)
+    s_nom = cursor0[None, :] + e_idx[:, None] * adv_int[None, :] - START_GUARD
+    s_al = jnp.maximum((s_nom >> 7) << 7, 0)              # (W, C)
+    windows = jax.vmap(jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(block, (s0,), (cfg.n_win,))
+    ))(s_al)                                              # (W, C, n_win)
+    windows = windows.reshape(W, C, cfg.n_win // LANES, LANES)
+
+    statef = jnp.stack([
+        jnp.asarray(state.rem_code_phase, jnp.float32),
+        jnp.asarray(state.rem_carr_cyc, jnp.float32),
+        jnp.asarray(state.d_cyc, jnp.float32),
+        jnp.asarray(state.d_step, jnp.float32),
+        jnp.asarray(state.code_nco, jnp.float32),
+        jnp.asarray(state.code_error, jnp.float32),
+        jnp.asarray(state.d1_carr, jnp.float32),
+        jnp.asarray(state.d2_carr, jnp.float32),
+    ], axis=1)                                            # (C, 8)
+
+    kernel = _make_kernel(cfg, geo, C)
+    R = cfg.n_win // LANES
+
+    out4, cur_out = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # cursor0 (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # adv (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # carr_t (C, kmax)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # a_base (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # q0_cyc (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # init_dstep (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tb_int (TK,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tb_frac (TK,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # statef (C, 8)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # cursor (C,)
+            pl.BlockSpec((1, C, R, LANES),
+                         lambda wi: (wi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # windows
+            pl.BlockSpec((C, 2, geo["TK"], BT),
+                         lambda wi: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # dcode
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, 8, LANES),
+                         lambda wi: (wi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W, C, 8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((C,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((geo["RP"], 256), jnp.float32),
+            pltpu.SMEM((C, 10), jnp.float32),
+            pltpu.SMEM((C, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cursor0, adv_int,
+      jnp.asarray(consts.carr_t, jnp.float32),
+      jnp.asarray(consts.a_base, jnp.float32),
+      jnp.asarray(consts.q0_cyc, jnp.float32),
+      jnp.asarray(consts.init_dstep, jnp.float32),
+      jnp.asarray(tb_int), jnp.asarray(tb_frac),
+      statef, cursor0, windows, dcode)
+
+    rows = out4[:, :, 0, :]                               # (W, C, LANES)
+    from bds3_tpu.track.scan import output_names
+
+    names = output_names(cfg)
+    outs = {k: rows[:, :, i] for i, k in enumerate(names)}
+    st = rows[W - 1, :, len(names):len(names) + 8]        # (C, 8)
+    new_state = ChannelState(
+        cursor=cur_out,
+        rem_code_phase=st[:, 0], rem_carr_cyc=st[:, 1],
+        d_cyc=st[:, 2], d_step=st[:, 3],
+        code_nco=st[:, 4], code_error=st[:, 5],
+        d1_carr=st[:, 6], d2_carr=st[:, 7],
+    )
+    return new_state, outs

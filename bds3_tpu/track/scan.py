@@ -298,6 +298,11 @@ def track_block(
 ):
     """Run cfg.epochs_per_block epochs for all channels; returns
     (new_state, outputs dict of (W, C) arrays)."""
+    if cfg.correlator == "fused":
+        from bds3_tpu.track.pallas_fused import fused_track_block
+
+        return fused_track_block(cfg, block, data_tables, pilot11_tables,
+                                 consts, state)
     W = cfg.epochs_per_block
     n_win = window_length(cfg)
     C = data_tables.shape[0]

@@ -131,9 +131,10 @@ def make_track_config(s: Settings, complex_input: bool = False,
     q0 = s.code_length / step_base
     q0_int = int(np.floor(q0))
     n_max = q0_int + 4
-    # pre-gathered window: epoch + in-block drift slack + guards, rounded
-    # to a whole number of SPLIT tiles (the pallas prefix kernel's tile)
-    n_win = n_max + epochs_per_block + 2 * 16
+    # pre-gathered window: epoch + in-block drift slack + guards + the
+    # fused kernel's 128-sample start alignment, rounded to a whole
+    # number of SPLIT tiles (the pallas prefix kernel's tile)
+    n_win = n_max + epochs_per_block + 2 * 16 + 128
     n_win = -(-n_win // SPLIT) * SPLIT
     tau1, tau2 = dll_coefficients(s.dll_bw, s.dll_damping, 1.0)
     pf3, pf2, pf1 = pll_coefficients(s.pll_bw, s.int_time)

@@ -1,0 +1,93 @@
+"""Fused multi-epoch Pallas tracking kernel: equivalence to the XLA
+bucket path and absolute closed-loop convergence.
+
+The fused kernel intentionally computes the chip-boundary sample indices
+with *better* f32 precision than the XLA bucket path (per-tile host-f64
+rebasing of the k*frac ramp), so single-epoch correlators agree to
+~1e-3 relative (a handful of one-sample bucket flips out of ~1e4), and
+closed-loop trajectories stay in the same lock but wiggle at the
+discriminator-noise level.  Equivalence is therefore asserted loosely
+over a bounded horizon plus *exact* agreement of the integer epoch
+geometry (blksize), and convergence is asserted absolutely against the
+synthesized truth.
+"""
+import numpy as np
+
+from bds3_tpu.config import b2a_settings
+from bds3_tpu.io import SatParams, synthesize_if
+from bds3_tpu.track.driver import track
+from bds3_tpu.track.state import ChannelInit, make_track_config
+
+
+def _init_for(s, sat):
+    code_rate = s.code_freq_basis * (1 + sat.doppler_hz / s.carr_freq_basis)
+    chi0 = sat.code_phase_chips % s.code_length
+    start = ((s.code_length - chi0) % s.code_length) / code_rate
+    return ChannelInit(
+        prn=sat.prn, acquired_freq=s.intermediate_freq + sat.doppler_hz,
+        code_phase=int(round(start * s.sampling_freq)), peak_metric=2.0)
+
+
+class TestFusedKernel:
+    def test_matches_bucket(self):
+        s = b2a_settings(sampling_freq=10e6, intermediate_freq=2.5e6)
+        sats = [
+            SatParams(prn=19, doppler_hz=777.0, code_phase_chips=123.0,
+                      amplitude=0.9),
+            SatParams(prn=20, doppler_hz=-1200.0, code_phase_chips=5000.0,
+                      amplitude=0.7),
+        ]
+        sig = synthesize_if(s, sats, n_ms=60.0, noise_std=1.0, seed=6)
+        inits = [_init_for(s, sat) for sat in sats]
+        res = {c: track(sig, s, inits, n_epochs=30, epochs_per_block=30,
+                        correlator=c) for c in ("bucket", "fused")}
+        # integer epoch geometry must agree exactly
+        np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                      res["fused"].outputs["blksize"])
+        np.testing.assert_array_equal(res["bucket"].absolute_sample,
+                                      res["fused"].absolute_sample)
+        for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp"):
+            a = res["bucket"].outputs[k]
+            b = res["fused"].outputs[k]
+            scale = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                       err_msg=k)
+        np.testing.assert_allclose(res["fused"].carr_freq,
+                                   res["bucket"].carr_freq, atol=0.25)
+
+    def test_absolute_lock(self):
+        s = b2a_settings(sampling_freq=8e6, intermediate_freq=2e6)
+        sat = SatParams(prn=7, doppler_hz=-950.0, code_phase_chips=42.0,
+                        amplitude=0.8)
+        sig = synthesize_if(s, [sat], n_ms=160.0, noise_std=1.0, seed=3)
+        res = track(sig, s, [_init_for(s, sat)], n_epochs=150,
+                    epochs_per_block=50, correlator="fused")
+        ip = res.outputs["d_ip"][0][-50:]
+        qp = res.outputs["d_qp"][0][-50:]
+        assert np.abs(ip).mean() > 4 * np.abs(qp).mean(), "not phase locked"
+        # PLL noise jitter at Bn=20 Hz in this C/N0 is ~1 Hz RMS (the XLA
+        # bucket path shows the identical wander, within 0.01 Hz)
+        truth = s.intermediate_freq + sat.doppler_hz
+        assert abs(res.carr_freq[0][-20:].mean() - truth) < 2.0
+        # code lock: early/late balance converging (the DLL is Bn=2 Hz,
+        # time constant ~80 ms, so it is still settling at 150 epochs)
+        e = np.hypot(res.outputs["d_ie"][0], res.outputs["d_qe"][0])
+        l = np.hypot(res.outputs["d_il"][0], res.outputs["d_ql"][0])
+        eml = np.abs((e - l) / (e + l))
+        assert eml[-30:].mean() < 0.15
+        assert eml[-30:].mean() < eml[40:70].mean()
+
+    def test_supported_gating(self):
+        from bds3_tpu.track.pallas_fused import fused_supported
+
+        s = b2a_settings(sampling_freq=10e6, intermediate_freq=2.5e6)
+        cfg = make_track_config(s)
+        assert fused_supported(cfg, 12)
+        cfg_cplx = make_track_config(s, complex_input=True)
+        assert not fused_supported(cfg_cplx, 12)
+        from bds3_tpu.config import TrackMode, b1c_settings
+
+        s_wb = b1c_settings(sampling_freq=30e6, intermediate_freq=7.5e6,
+                            track_mode=TrackMode.WIDEBAND)
+        cfg_wb = make_track_config(s_wb)
+        assert not fused_supported(cfg_wb, 12)
