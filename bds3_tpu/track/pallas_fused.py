@@ -67,17 +67,38 @@ def _geometry(cfg) -> dict:
     inv0 = 1.0 / (cfg.step_base * m)    # samples per table entry, host f64
     inv0_int = int(np.floor(inv0))
     inv0_frac = float(inv0 - inv0_int)
-    r = cfg.n_win // LANES              # prefix rows; n_win % 4096 == 0
+    # window length: one SPLIT tile beyond the scan path's n_win, because
+    # the in-kernel window DMA must start on the int8 HBM tile boundary
+    # (32 rows = 4096 samples), so `off` can reach 4095 + START_GUARD
+    n_win = cfg.n_win + SPLIT
+    r = n_win // LANES                  # prefix rows; n_win % 4096 == 0
+    # Half-grid mode: when the E/P/L spacing is exactly half a code-table
+    # slot, the late tap's boundary samples coincide with the early tap's
+    # shifted by one slot: j_L(b) == j_E(b-1) exactly (real arithmetic),
+    # so stage 2 needs only TWO boundary ramps (prompt + early) and the
+    # late correlator is a dot against host-shifted Abel weights.  The
+    # dropped b=-1 edge term w_0*P[j_E(-1)] is provably zero: the prefix
+    # is zero at or below `off` (the validity mask starts there), and
+    # j_E(-1) = off + 1 + floor(-(PAD+1)*inv + (spc-rem)*m*inv) <= off
+    # whenever (PAD+0.5)*inv >= (|rem|+spc)*m*inv + 1, true for any
+    # usable sampling ratio (|rem_code| stays under one code-phase step).
+    half_grid = (
+        abs(cfg.spacing * m - 0.5) < 1e-12
+        and (CODE_PAD + 0.5) * inv0
+        >= (0.25 + cfg.spacing) * m * inv0 + 1
+    )
+    n_ramps = 2 if half_grid else 3
     # row-select slice height: worst-case span of one boundary tile's rows
-    # after flooring the start row to a multiple of 8 (7*128+127 slack),
-    # plus the early-late correlator offset spread
-    span = 1023 + int(np.ceil((BT - 1) * inv0)) \
+    # after flooring the start row to a multiple of `align` (slack
+    # align*128-1), plus the early-late correlator offset spread
+    align = int(os.environ.get("FUSED_ROW_ALIGN", "8"))
+    span = (align * LANES - 1) + int(np.ceil((BT - 1) * inv0)) \
         + int(np.ceil(2.0 * cfg.spacing * m * inv0)) + 8
     s_rows = _round_up(span // LANES + 2, 8)
     rp = r + s_rows                     # scratch rows (slice stays in range)
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, inv0_int=inv0_int,
-                inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp,
-                T=cfg.n_win // SPLIT)
+                inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
+                T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps)
 
 
 def fused_supported(cfg, n_channels: int = 12) -> bool:
@@ -86,9 +107,10 @@ def fused_supported(cfg, n_channels: int = 12) -> bool:
         return False
     geo = _geometry(cfg)
     win_b = 1 if cfg.complex_input else 1
+    n_planes = 4 if geo["half_grid"] else 2
     vmem = (geo["RP"] * 256 * 4                       # prefix scratch
-            + 2 * n_channels * cfg.n_win * win_b      # window double buffer
-            + n_channels * 2 * geo["kp"] * 4          # dcode tables
+            + 2 * n_channels * geo["n_win"] * win_b   # window double buffer
+            + n_channels * n_planes * geo["kp"] * 4   # dcode tables
             + 2 * n_channels * 8 * LANES * 4)         # output blocks
     return vmem <= VMEM_BUDGET
 
@@ -130,13 +152,18 @@ def _out_slots(cfg) -> list[str]:
     ]
 
 
-def _make_kernel(cfg, geo, n_channels):
+def _make_kernel(cfg, geo, n_channels, nrows_b2):
+    NROWS_B2 = nrows_b2
     C = n_channels
     T, TK, R, S, RP = geo["T"], geo["TK"], geo["R"], geo["S"], geo["RP"]
+    HALF = geo["half_grid"]
+    NR = geo["n_ramps"]
+    W_TOTAL = cfg.epochs_per_block
+    ROW_ALIGN = int(os.environ.get("FUSED_ROW_ALIGN", "8"))
     m = geo["m"]
     inv0_int = geo["inv0_int"]
     inv0_frac_f = np.float32(geo["inv0_frac"])
-    n_win = cfg.n_win
+    n_win = geo["n_win"]
     step_base = np.float32(cfg.step_base)
     sbm = np.float32(cfg.step_base * m)
     q0_int_f = np.float32(cfg.q0_int)
@@ -150,10 +177,38 @@ def _make_kernel(cfg, geo, n_channels):
     bisect = os.environ.get("FUSED_BISECT", "full")
     slots = _out_slots(cfg)
 
+    R_WIN = geo["n_win"] // LANES
+
     def kernel(cursor0_s, adv_s, carr_s, abase_s, q0cyc_s, dstep0_s,
-               tbint_s, tbfrac_s, statef_s, cursorin_s, win_ref, dcode_ref,
-               out_ref, curout_s, p_scr, stf, sti):
+               tbint_s, tbfrac_s, statef_s, cursorin_s, b2_ref, dcode_ref,
+               out_ref, curout_s, p_scr, stf, sti, win_scr, dma_sem):
         w = pl.program_id(0)
+        slot = jax.lax.rem(w, 2)
+
+        # windows stream HBM->VMEM by explicit double-buffered DMA: the
+        # XLA pre-gather pass cost ~0.11 ms/epoch (1D) / ~0.03 ms/epoch
+        # (row-sliced) and materialized a (W, C, n_win) HBM buffer;
+        # in-kernel copies overlap the previous epoch's compute and touch
+        # each input byte once (benchmarks/fused_parts.py)
+        # window starts align to the int8 HBM tile (32 rows x (8,128)
+        # packing = 4096 samples); `off` absorbs the remainder.  Unlike
+        # XLA's dynamic-slice, a raw DMA does NOT clamp out-of-range
+        # starts (it faults the TPU worker), so clamp to the block tail —
+        # the driver never tracks past the provided block, this only
+        # guards the out-of-data regime.
+        r0_max = (NROWS_B2 - R_WIN) // 32 * 32
+
+        def win_r0(w_, c_):
+            s_nom = cursor0_s[c_] + w_ * adv_s[c_] - START_GUARD
+            r0 = jnp.clip((s_nom >> 12) << 12 >> 7, 0, r0_max)
+            return pl.multiple_of(r0, 32)
+
+        def win_dma(w_, slot_, c_):
+            return pltpu.make_async_copy(
+                b2_ref.at[pl.ds(win_r0(w_, c_), R_WIN), :],
+                win_scr.at[slot_, c_],
+                dma_sem.at[slot_, c_],
+            )
 
         # hoisted constants (shared across channels)
         lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
@@ -166,8 +221,8 @@ def _make_kernel(cfg, geo, n_channels):
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
         u_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
         u_f = u_i.astype(jnp.float32)
-        iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, 3 * BT), 0)
-        iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 3 * BT), 0)
+        iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, NR * BT), 0)
+        iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, NR * BT), 0)
         iota_o = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
         @pl.when(w == 0)
@@ -177,8 +232,15 @@ def _make_kernel(cfg, geo, n_channels):
                     stf[c0, i] = statef_s[c0, i]
             for c0 in range(C):
                 sti[c0, 0] = cursorin_s[c0]
+                win_dma(0, 0, c0).start()
+
+        @pl.when(w + 1 < W_TOTAL)
+        def _():
+            for c0 in range(C):
+                win_dma(w + 1, 1 - slot, c0).start()
 
         def one_channel(c, _):
+            win_dma(w, slot, c).wait()
             rem_code = stf[c, 0]
             rem_cyc = stf[c, 1]
             d_cyc = stf[c, 2]
@@ -189,9 +251,8 @@ def _make_kernel(cfg, geo, n_channels):
             d2_carr = stf[c, 7]
             cursor = sti[c, 0]
 
-            # window start: must match the host pre-gather exactly
-            s_nom = cursor0_s[c] + w * adv_s[c] - START_GUARD
-            s_al = jnp.maximum((s_nom >> 7) << 7, 0)
+            # window start: must match win_dma exactly
+            s_al = win_r0(w, c) << 7
             off = cursor - s_al
             off_f = off.astype(jnp.float32)
 
@@ -208,40 +269,57 @@ def _make_kernel(cfg, geo, n_channels):
             rem_eff = rem_cyc - off_f * slope
 
             # --- stage 1: mix + mask + exclusive prefix into p_scr -------
+            # tiles fully outside [off, off+blksize) are all-masked: their
+            # prefix rows are just the running totals (skip the trig +
+            # matmul; with the 4096-sample window alignment up to ~2 of
+            # the T tiles are outside on average)
             def stage1(t, carry):
                 ci, cq = carry
-                x = win_ref[0, c, pl.ds(t * ROWS, ROWS), :].astype(
-                    jnp.float32)
-                gidx = t * SPLIT + lin
-                base_t = carr_s[c, t] + rem_eff \
-                    + (t * SPLIT).astype(jnp.float32) * d_cyc
-                cyc = jnp.mod(base_t + lin_f * slope, 1.0)
-                ang = two_pi * cyc
-                mask = ((gidx >= off) & (gidx < off + blksize)
-                        ).astype(jnp.float32)
-                xm = x * mask
-                ib = xm * jnp.cos(ang)
-                qb = -(xm * jnp.sin(ang))
-                xiq = jnp.concatenate([ib, qb], axis=0)          # (64, 128)
-                lexc = jnp.dot(xiq, utri,
-                               preferred_element_type=jnp.float32)
-                rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]  # (64, 1)
 
-                def rowexc(rt):
-                    inc = rt
-                    for sft in (1, 2, 4, 8, 16):
-                        inc = inc + jnp.where(iota_r >= sft,
-                                              pltpu.roll(inc, sft, 0), 0.0)
-                    return inc - rt, inc[ROWS - 1, 0]
+                def full(cin):
+                    ci2, cq2 = cin
+                    x = win_scr[slot, c, pl.ds(t * ROWS, ROWS), :].astype(
+                        jnp.float32)
+                    gidx = t * SPLIT + lin
+                    base_t = carr_s[c, t] + rem_eff \
+                        + (t * SPLIT).astype(jnp.float32) * d_cyc
+                    cyc = jnp.mod(base_t + lin_f * slope, 1.0)
+                    ang = two_pi * cyc
+                    mask = ((gidx >= off) & (gidx < off + blksize)
+                            ).astype(jnp.float32)
+                    xm = x * mask
+                    ib = xm * jnp.cos(ang)
+                    qb = -(xm * jnp.sin(ang))
+                    xiq = jnp.concatenate([ib, qb], axis=0)      # (64, 128)
+                    lexc = jnp.dot(xiq, utri,
+                                   preferred_element_type=jnp.float32)
+                    rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]  # (64,1)
 
-                ri, ti = rowexc(rtot[0:ROWS])
-                rq, tq = rowexc(rtot[ROWS:])
-                p_scr[pl.ds(t * ROWS, ROWS), 0:128] = lexc[0:ROWS] + (ri + ci)
-                p_scr[pl.ds(t * ROWS, ROWS), 128:256] = \
-                    lexc[ROWS:] + (rq + cq)
-                return ci + ti, cq + tq
+                    def rowexc(rt):
+                        inc = rt
+                        for sft in (1, 2, 4, 8, 16):
+                            inc = inc + jnp.where(
+                                iota_r >= sft, pltpu.roll(inc, sft, 0), 0.0)
+                        return inc - rt, inc[ROWS - 1, 0]
 
-            t1 = 1 if bisect == "nostage1" else T
+                    ri, ti = rowexc(rtot[0:ROWS])
+                    rq, tq = rowexc(rtot[ROWS:])
+                    return (lexc[0:ROWS] + (ri + ci2),
+                            lexc[ROWS:] + (rq + cq2), ci2 + ti, cq2 + tq)
+
+                def skip(cin):
+                    return (jnp.full((ROWS, LANES), cin[0]),
+                            jnp.full((ROWS, LANES), cin[1]), cin[0], cin[1])
+
+                active = (t * SPLIT + SPLIT > off) \
+                    & (t * SPLIT < off + blksize)
+                tile_i, tile_q, ci_n, cq_n = jax.lax.cond(
+                    active, full, skip, (ci, cq))
+                p_scr[pl.ds(t * ROWS, ROWS), 0:128] = tile_i
+                p_scr[pl.ds(t * ROWS, ROWS), 128:256] = tile_q
+                return ci_n, cq_n
+
+            t1 = 1 if bisect in ("nostage1", "none") else T
             tot_i, tot_q = jax.lax.fori_loop(
                 0, t1, stage1, (jnp.float32(0.0), jnp.float32(0.0)),
                 unroll=t1)
@@ -255,8 +333,13 @@ def _make_kernel(cfg, geo, n_channels):
             inv = 1.0 / smm
             dinv = inv - jnp.float32(inv0_int) - inv0_frac_f
 
-            # one iteration = one BT-boundary tile x all three E/P/L
-            # offsets (batched as 3*BT one-hot columns through one matmul)
+            # one iteration = one BT-boundary tile x NR ramps batched as
+            # NR*BT one-hot columns through one matmul.  3-ramp mode: one
+            # ramp per E/P/L tap.  Half-grid mode (see _geometry): ramps
+            # are (prompt, early) and the late tap reuses the early
+            # ramp's lookups against weights host-shifted by one slot.
+            ramp_offs = (0.0, -spc) if HALF else (-spc, 0.0, spc)
+
             def stage2(kt, acc):
                 ki0 = kt * BT - CODE_PAD
                 ki0_f = ki0.astype(jnp.float32)
@@ -266,25 +349,29 @@ def _make_kernel(cfg, geo, n_channels):
                 jbase = ki0 * inv0_int + tbi + 1 + off
 
                 j_parts, j0s = [], []
-                for d_idx in range(3):
-                    base = rem_code + (d_idx - 1) * spc
+                for r_off in ramp_offs:
+                    base = rem_code + r_off
                     bmi = (base * m) * inv
                     g0 = tbf + ki0_f * dinv - bmi
                     j0s.append(jbase + jnp.floor(g0).astype(jnp.int32))
                     g = tbf + u_f * inv0_frac_f + ki_f * dinv - bmi
                     j_parts.append(jbase + u_i * inv0_int
                                    + jnp.floor(g).astype(jnp.int32))
-                j0 = jnp.clip(jnp.minimum(j0s[0], j0s[2]), 0, n_win)
-                q0a = pl.multiple_of(((j0 >> 7) >> 3) << 3, 8)
+                j0 = jnp.clip(jnp.minimum(j0s[0], j0s[-1]), 0, n_win)
+                if ROW_ALIGN > 1:
+                    q0a = pl.multiple_of(
+                        ((j0 >> 7) // ROW_ALIGN) * ROW_ALIGN, ROW_ALIGN)
+                else:
+                    q0a = j0 >> 7
                 j3 = jnp.clip(jnp.concatenate(j_parts, axis=1), 0, n_win)
-                row_rel = (j3 >> 7) - q0a                       # (1, 3*BT)
+                row_rel = (j3 >> 7) - q0a                       # (1, NR*BT)
                 lane = j3 & 127
 
                 rowoh = (iota_s3 == row_rel).astype(jnp.float32)
                 sl = p_scr[pl.ds(q0a, S), :]                    # (S, 256)
                 gsel = jax.lax.dot_general(
                     sl, rowoh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)         # (256, 3*BT)
+                    preferred_element_type=jnp.float32)         # (256, NR*BT)
                 lmask = (iota_l3 == lane).astype(jnp.float32)
                 vi = jnp.sum(gsel[0:128] * lmask, axis=0, keepdims=True)
                 vq = jnp.sum(gsel[128:256] * lmask, axis=0, keepdims=True)
@@ -293,20 +380,37 @@ def _make_kernel(cfg, geo, n_channels):
                 if use_pilot:
                     wp = dcode_ref[c, 1, pl.ds(kt, 1), :]
                 cont = []
-                for d_idx in range(3):
-                    seg = slice(d_idx * BT, (d_idx + 1) * BT)
-                    cont += [jnp.sum(wd * vi[:, seg]),
-                             jnp.sum(wd * vq[:, seg])]
+                if HALF:
+                    pr = slice(0, BT)                 # prompt ramp values
+                    er = slice(BT, 2 * BT)            # early ramp values
+                    wds = dcode_ref[c, 2, pl.ds(kt, 1), :]  # w shifted by 1
                     if use_pilot:
-                        cont += [jnp.sum(wp * vi[:, seg]),
-                                 jnp.sum(wp * vq[:, seg])]
+                        wps = dcode_ref[c, 3, pl.ds(kt, 1), :]
+                    # tap-major (E, P, L) to match the unpack below
+                    tap_w = [(wd, er), (wd, pr), (wds, er)]
+                    tap_wp = ([(wp, er), (wp, pr), (wps, er)]
+                              if use_pilot else [None] * 3)
+                    for (w_t, seg), pw in zip(tap_w, tap_wp):
+                        cont += [jnp.sum(w_t * vi[:, seg]),
+                                 jnp.sum(w_t * vq[:, seg])]
+                        if use_pilot:
+                            cont += [jnp.sum(pw[0] * vi[:, seg]),
+                                     jnp.sum(pw[0] * vq[:, seg])]
+                else:
+                    for d_idx in range(3):
+                        seg = slice(d_idx * BT, (d_idx + 1) * BT)
+                        cont += [jnp.sum(wd * vi[:, seg]),
+                                 jnp.sum(wd * vq[:, seg])]
+                        if use_pilot:
+                            cont += [jnp.sum(wp * vi[:, seg]),
+                                     jnp.sum(wp * vq[:, seg])]
                 return tuple(a + cn for a, cn in zip(acc, cont))
 
             nper = 4 if use_pilot else 2
             acc0 = tuple(jnp.float32(0.0) for _ in range(3 * nper))
-            n_s2 = 0 if bisect == "nostage2" else TK
+            n_s2 = 0 if bisect in ("nostage2", "none") else TK
             acc = jax.lax.fori_loop(0, n_s2, stage2, acc0, unroll=max(n_s2, 1))
-            if bisect == "nostage2":
+            if bisect in ("nostage2", "none"):
                 acc = tuple(a + tot_i for a in acc)
             # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)]
             o = {}
@@ -388,7 +492,8 @@ def _make_kernel(cfg, geo, n_channels):
             out_ref[0, c] = jnp.broadcast_to(row, (8, LANES))
             return 0
 
-        jax.lax.fori_loop(0, C, one_channel, 0)
+        jax.lax.fori_loop(0, C, one_channel, 0,
+                          unroll=os.environ.get("FUSED_UNROLL_CH") == "1")
 
     return kernel
 
@@ -422,24 +527,27 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             - jnp.concatenate([ext, z], axis=1)           # (C, kb)
         return jnp.pad(wv, ((0, 0), (0, geo["kp"] - geo["kb"])))
 
-    dcode = jnp.stack([
-        dcode_of(data_tables),
-        dcode_of(pilot11_tables) if cfg.use_pilot
-        else jnp.zeros((C, geo["kp"]), jnp.float32),
-    ], axis=1).reshape(C, 2, geo["TK"], BT)
+    wd = dcode_of(data_tables)
+    wp = (dcode_of(pilot11_tables) if cfg.use_pilot
+          else jnp.zeros((C, geo["kp"]), jnp.float32))
+    planes = [wd, wp]
+    if geo["half_grid"]:
+        # late-tap weights shifted one slot (w_shift[b] = w[b+1]); the
+        # last slot reads past kb where the pad is zero
+        shift1 = lambda w: jnp.pad(w[:, 1:], ((0, 0), (0, 1)))
+        planes += [shift1(wd), shift1(wp)]
+    n_planes = len(planes)
+    dcode = jnp.stack(planes, axis=1).reshape(C, n_planes, geo["TK"], BT)
 
     cursor0 = jnp.asarray(state.cursor, jnp.int32)
     adv_int = jnp.asarray(consts.adv_int, jnp.int32)
 
-    # pre-gathered, 128-aligned epoch windows (must match the kernel's
-    # s_al recomputation exactly)
-    e_idx = jnp.arange(W, dtype=jnp.int32)
-    s_nom = cursor0[None, :] + e_idx[:, None] * adv_int[None, :] - START_GUARD
-    s_al = jnp.maximum((s_nom >> 7) << 7, 0)              # (W, C)
-    windows = jax.vmap(jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(block, (s0,), (cfg.n_win,))
-    ))(s_al)                                              # (W, C, n_win)
-    windows = windows.reshape(W, C, cfg.n_win // LANES, LANES)
+    # the kernel DMAs its own 4096-sample-aligned epoch windows from the
+    # raw block rows (see win_dma); tail pad so the slice never runs off
+    # the end of the array
+    r_win = geo["n_win"] // LANES
+    pad = (-block.shape[0]) % LANES + geo["n_win"] + SPLIT
+    b2 = jnp.pad(block, (0, pad)).reshape(-1, LANES)
 
     statef = jnp.stack([
         jnp.asarray(state.rem_code_phase, jnp.float32),
@@ -452,8 +560,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
         jnp.asarray(state.d2_carr, jnp.float32),
     ], axis=1)                                            # (C, 8)
 
-    kernel = _make_kernel(cfg, geo, C)
-    R = cfg.n_win // LANES
+    kernel = _make_kernel(cfg, geo, C, int(b2.shape[0]))
 
     out4, cur_out = pl.pallas_call(
         kernel,
@@ -469,10 +576,8 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tb_frac (TK,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # statef (C, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # cursor (C,)
-            pl.BlockSpec((1, C, R, LANES),
-                         lambda wi: (wi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),        # windows
-            pl.BlockSpec((C, 2, geo["TK"], BT),
+            pl.BlockSpec(memory_space=pltpu.HBM),         # raw block rows
+            pl.BlockSpec((C, n_planes, geo["TK"], BT),
                          lambda wi: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # dcode
         ],
@@ -490,6 +595,8 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pltpu.VMEM((geo["RP"], 256), jnp.float32),
             pltpu.SMEM((C, 10), jnp.float32),
             pltpu.SMEM((C, 2), jnp.int32),
+            pltpu.VMEM((2, C, r_win, LANES), b2.dtype),   # window buffers
+            pltpu.SemaphoreType.DMA((2, C)),
         ],
         interpret=interpret,
     )(cursor0, adv_int,
@@ -498,7 +605,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
       jnp.asarray(consts.q0_cyc, jnp.float32),
       jnp.asarray(consts.init_dstep, jnp.float32),
       jnp.asarray(tb_int), jnp.asarray(tb_frac),
-      statef, cursor0, windows, dcode)
+      statef, cursor0, b2, dcode)
 
     rows = out4[:, :, 0, :]                               # (W, C, LANES)
     from bds3_tpu.track.scan import output_names

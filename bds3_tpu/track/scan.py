@@ -312,12 +312,19 @@ def track_block(
     e_idx = jnp.arange(W, dtype=jnp.int32)
     starts = cursor0[None, :] + e_idx[:, None] * adv_int[None, :] \
         - START_GUARD                                           # (W, C)
-    starts = jnp.maximum(starts, 0)
+    # 128-align the window starts (the off/phase folding absorbs the
+    # shift exactly) so the pre-gather slices whole rows of the reshaped
+    # block: XLA's byte-offset 1D dynamic-slice is ~4x slower on TPU
+    # (benchmarks/fused_parts.py)
+    starts = jnp.maximum((starts >> 7) << 7, 0)
 
     # pre-gather all epoch windows with static-shape slices (outside the
-    # sequential scan)
+    # sequential scan); tail pad so the row slice never clamps
+    pad = (-block.shape[0]) % 128 + n_win
+    b2 = jnp.pad(block, (0, pad)).reshape(-1, 128)
     windows = jax.vmap(jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(block, (s0,), (n_win,))
+        lambda s0: jax.lax.dynamic_slice(
+            b2, (s0 >> 7, 0), (n_win // 128, 128)).reshape(n_win)
     ))(starts)                                                  # (W, C, n_win)
 
     use_pallas = cfg.correlator == "bucket_pallas" and not cfg.complex_input

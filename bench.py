@@ -25,7 +25,7 @@ enable_compilation_cache()
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_capture.npy")
 SECONDS = 2.2
-TRACK_EPOCHS = 1500  # 1.5 s of 1 ms epochs
+TRACK_EPOCHS = 2000  # 2 s of 1 ms epochs, ONE kernel launch per pass
 CHANNELS = 12
 
 
@@ -85,17 +85,20 @@ def main():
 
     log("[bench] warmup/compile run...")
     t0 = time.time()
-    track(sig_dev, s, inits, n_epochs=250, epochs_per_block=250)
+    track(sig_dev, s, inits, n_epochs=TRACK_EPOCHS,
+          epochs_per_block=TRACK_EPOCHS, download=False)
     log(f"[bench] warmup {time.time()-t0:.1f}s")
 
     # steady-state throughput: PASSES independent 12-channel runs chained
-    # on-device (lazy outputs), one synchronizing download at the end
-    PASSES = 12
+    # on-device (lazy outputs), one synchronizing download at the end.
+    # One whole pass per kernel launch: the axon relay costs ~10-30 ms
+    # per dispatched op, so per-block host orchestration must be rare.
+    PASSES = 8
     t0 = time.time()
     res = None
     for i in range(PASSES):
         res = track(sig_dev, s, inits, n_epochs=TRACK_EPOCHS,
-                    epochs_per_block=250, download=False)
+                    epochs_per_block=TRACK_EPOCHS, download=False)
     ip = np.asarray(res.outputs["d_ip"][:, -200:])   # sync point
     qp = np.asarray(res.outputs["d_qp"][:, -200:])
     wall = time.time() - t0

@@ -91,3 +91,30 @@ class TestFusedKernel:
                             track_mode=TrackMode.WIDEBAND)
         cfg_wb = make_track_config(s_wb)
         assert not fused_supported(cfg_wb, 12)
+
+    def test_half_grid_matches_bucket_full_rate(self):
+        """The 2-ramp half-grid stage 2 only activates at full rate
+        (spacing*m == 0.5 and enough code padding); check it against the
+        XLA bucket path there.  Small epoch count: interpret mode at
+        99.375 Msps is slow."""
+        from bds3_tpu.track.pallas_fused import _geometry
+
+        s = b2a_settings()          # reference dataset rate, 99.375 Msps
+        cfg = make_track_config(s, complex_input=False, epochs_per_block=2)
+        assert _geometry(cfg)["half_grid"]
+
+        sat = SatParams(prn=19, doppler_hz=777.0, code_phase_chips=123.0,
+                        amplitude=0.9)
+        sig = synthesize_if(s, [sat], n_ms=4.0, noise_std=1.0, seed=6)
+        res = {c: track(sig, s, [_init_for(s, sat)], n_epochs=2,
+                        epochs_per_block=2, correlator=c)
+               for c in ("bucket", "fused")}
+        np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                      res["fused"].outputs["blksize"])
+        for k in ("d_ip", "d_qp", "d_ie", "d_il", "d_qe", "d_ql",
+                  "p11_ip", "p11_qp", "p11_ie", "p11_il"):
+            a = res["bucket"].outputs[k]
+            b = res["fused"].outputs[k]
+            scale = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                       err_msg=k)
