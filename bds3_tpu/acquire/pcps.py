@@ -198,6 +198,19 @@ def fine_code_tables(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
     return d.astype(np.int8), q.astype(np.int8)
 
 
+def glrt_noise_power(window) -> float:
+    """GLRT denominator sqrt(var(x) * N) (BDS-3_B1C/acquisition.m:150).
+
+    For complex IQ captures the variance must be taken over the complex
+    samples (E|x|^2 - |E x|^2, i.e. I and Q power combined), so the dtype
+    is preserved until after the complex check — a premature real cast
+    would silently drop the Q component and bias the detection metric
+    by sqrt(2)."""
+    win = np.asarray(window)
+    win = win.astype(np.complex128 if np.iscomplexobj(win) else np.float64)
+    return math.sqrt(float(np.var(win).real) * win.shape[0])
+
+
 def _combine(abs_d: jnp.ndarray, abs_p: jnp.ndarray, cfg: AcqConfig) -> jnp.ndarray:
     if cfg.combine_weighted:
         return (abs_d * np.sqrt(11.0) + abs_p * np.sqrt(29.0)) / np.sqrt(40.0)
@@ -412,11 +425,7 @@ def acquire(
         ))
         metric = best_v / second
     else:
-        win = np.asarray(signal[: cfg.n_coh], dtype=np.float64)
-        if np.iscomplexobj(win):
-            sig_power = math.sqrt(float(np.var(win)) * cfg.n_coh)
-        else:
-            sig_power = math.sqrt(np.var(win) * cfg.n_coh)
+        sig_power = glrt_noise_power(signal[: cfg.n_coh])
         metric = best_v / sig_power
 
     fd, fp = fine_code_tables(s, prns)

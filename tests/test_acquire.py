@@ -121,3 +121,34 @@ class TestB1CAcquisition:
         assert res.detected[0]
         true_f = s.intermediate_freq + sat.doppler_hz
         assert abs(res.carr_freq[0] - true_f) <= 15.0
+
+
+class TestGLRTNoisePower:
+    """The B1C GLRT denominator must use I+Q power for complex captures
+    (BDS-3_B1C/acquisition.m:150); round-1 cast to float64 before the
+    complex check, silently dropping Q."""
+
+    def test_complex_uses_both_components(self):
+        from bds3_tpu.acquire.pcps import glrt_noise_power
+
+        rng = np.random.default_rng(0)
+        n = 200_000
+        sigma = 1.7
+        x = sigma * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        p = glrt_noise_power(x)
+        expect = np.sqrt(2.0 * sigma**2 * n)   # complex var = 2 sigma^2
+        assert abs(p / expect - 1.0) < 0.01, (p, expect)
+        # real path unchanged
+        pr = glrt_noise_power(x.real)
+        assert abs(pr / np.sqrt(sigma**2 * n) - 1.0) < 0.01
+
+    def test_no_complex_warning(self):
+        import warnings
+
+        from bds3_tpu.acquire.pcps import glrt_noise_power
+
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            glrt_noise_power(x.astype(np.complex64))
