@@ -51,6 +51,29 @@ def _pilot_iq(track, ch: int):
     return o["p11_qp"][ch], o["p11_ip"][ch]
 
 
+def channel_health(track, lock_threshold: float = 0.5) -> list[dict]:
+    """Per-channel tracking health summary for the pipeline.
+
+    The reference surfaces C/N0 + the PLL lock detector live every
+    CNoInterval epochs (`tracking.m:409-434`) but never acts on them;
+    here the receiver driver consumes this summary to flag channels that
+    lost lock (NBD/NBP below `lock_threshold`) in the status table and in
+    `ReceiverResults.health` (PVT stays decode-gated for parity)."""
+    out = []
+    for ch in range(len(track.prns)):
+        series = cn0_pld_series(track, ch)
+        locks = series["data_lock"]
+        cn0 = series["total_cn0"]
+        finite = cn0[np.isfinite(cn0)]
+        out.append({
+            "prn": int(track.prns[ch]),
+            "cn0_db": float(np.median(finite)) if len(finite) else float("nan"),
+            "pll_lock": float(np.mean(locks)) if len(locks) else float("nan"),
+            "lock_ok": bool(len(locks) and np.mean(locks) >= lock_threshold),
+        })
+    return out
+
+
 def cn0_pld_series(track, ch: int, interval: int | None = None):
     """Per-interval (data C/N0 dB, pilot C/N0 dB, combined dB, data lock,
     pilot lock) arrays for one channel."""

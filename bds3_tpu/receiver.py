@@ -31,6 +31,11 @@ class ReceiverResults:
     track: TrackResults | None
     nav: NavSolutions | None
     timings: dict
+    # per-channel C/N0 + PLL-lock summary (observe.cn0.channel_health);
+    # the reference computes these live every CNoInterval epochs
+    # (tracking.m:409-434) — here they gate the status report (PVT stays
+    # decode-gated for parity with postNavigation.m:83-104)
+    health: list[dict] = dataclasses.field(default_factory=list)
 
 
 def acquisition_signal_length(s: Settings) -> int:
@@ -81,6 +86,10 @@ def run_receiver(
     channels = assign_channels(acq, settings)
     if not channels:
         return ReceiverResults(settings, acq, [], None, None, timings)
+    if verbose:
+        from bds3_tpu.observe.plots import channel_init_table
+
+        print(channel_init_table(channels))
 
     if n_epochs is None:
         n_epochs = settings.int_epochs
@@ -94,6 +103,15 @@ def run_receiver(
         print(f"[track] {timings['track_s']:.2f}s for {ms_tracked:.0f} ms x "
               f"{len(channels)} channels "
               f"({timings['track_realtime_factor']:.2f}x realtime)")
+
+    from bds3_tpu.observe.cn0 import channel_health
+
+    health = channel_health(trk)
+    if verbose:
+        for h in health:
+            flag = "" if h["lock_ok"] else "  ** LOW LOCK **"
+            print(f"[health] PRN {h['prn']:2d}: C/N0 {h['cn0_db']:5.1f} dB-Hz"
+                  f"  PLL lock {h['pll_lock']:+.2f}{flag}")
 
     if checkpoint_path:
         # checkpoint between tracking and PVT (postProcessing.m:133-135)
@@ -111,7 +129,8 @@ def run_receiver(
             ok = np.isfinite(nav.x)
             print(f"[pvt] {ok.sum()}/{len(nav.x)} fixes in "
                   f"{timings['pvt_s']:.2f}s")
-    return ReceiverResults(settings, acq, channels, trk, nav, timings)
+    return ReceiverResults(settings, acq, channels, trk, nav, timings,
+                           health=health)
 
 
 def resume_from_checkpoint(path: str) -> ReceiverResults:
