@@ -49,8 +49,6 @@ def doppler_sharded_coarse_search(mesh: Mesh, signal, data_codes,
     device runs the standard scan over its local bins; the winners are
     combined with an all_gather of three (P,)-vectors.
     """
-    from jax.experimental.shard_map import shard_map
-
     n_dev = mesh.shape[axis]
     # each shard sees its local bin count as fully valid
     local_bins = a_bins.shape[0] // n_dev
@@ -58,12 +56,12 @@ def doppler_sharded_coarse_search(mesh: Mesh, signal, data_codes,
 
     # check_vma off: coarse_search's internal scan carries replicated
     # constants that become device-varying once the bin axis is manual
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(_local_search, local_cfg=local_cfg, axis=axis),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(signal, data_codes, pilot_codes, a_bins, c1_bins)
 

@@ -78,8 +78,6 @@ def noncoherent_acquire_timesharded(
     PRN).  signal must cover n_devices * rounds_per_device code periods
     plus one n_fft window.
     """
-    from jax.experimental.shard_map import shard_map
-
     from bds3_tpu.acquire.pcps import acq_code_tables
 
     cfg = make_acq_config(settings)
@@ -101,13 +99,13 @@ def noncoherent_acquire_timesharded(
     freqs = cfg.freq_base + cfg.freq_step * np.arange(n_bins)
     a_b, c1_b = phase_tables(freqs, cfg.fs)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(_local_noncoh, cfg=cfg, rounds=rounds_per_device,
                           axis=axis, n_dev=n_dev),
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     cube = np.asarray(jax.jit(fn)(
         jnp.asarray(local_all), jnp.asarray(d8), jnp.asarray(p8),
