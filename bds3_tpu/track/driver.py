@@ -9,7 +9,9 @@ device HBM; the closed-loop state lives on device across the whole run.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,12 +21,84 @@ from bds3_tpu.signals.b2a import b2a_data_code, b2a_pilot_code
 from bds3_tpu.track.scan import track_block
 from bds3_tpu.track.state import (
     ChannelInit,
+    ChannelState,
     TrackConfig,
     channel_consts,
     code_coarse_tables,
     initial_state,
     make_track_config,
 )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_blocks", "block_len", "shift", "start0"),
+)
+def _track_blocks_scan(cfg, signal, data_t, p11_t, p61_t,
+                       ckd_i, ckd_f, ck61_i, ck61_f, consts, state,
+                       n_blocks, block_len, shift, start0):
+    """Whole-run tracking as ONE compiled program: lax.scan over signal
+    blocks, each step running cfg.epochs_per_block epochs (the inner
+    track_block).  Returns (final ChannelState, (F, n_blocks*W, C) outs).
+
+    The reference streams the file one code period at a time per channel
+    (`tracking.m:237-254`); here the device walks the resident capture
+    itself — the host issues a single dispatch for the entire run."""
+    from bds3_tpu.track.scan import output_names
+
+    names = output_names(cfg)
+
+    def body(carry, _):
+        st, s_off = carry
+        block = jax.lax.dynamic_slice(signal, (s_off,), (block_len,))
+        new_state, outs = track_block(
+            cfg, block, data_t, p11_t, p61_t,
+            ckd_i, ckd_f, ck61_i, ck61_f, consts, st,
+        )
+        packed = jnp.stack([outs[k].astype(jnp.float32) for k in names])
+        new_state = new_state._replace(cursor=new_state.cursor - shift)
+        return (new_state, s_off + shift), packed
+
+    (fin, _), stacked = jax.lax.scan(
+        body, (state, jnp.int32(start0)), None, length=n_blocks
+    )                                               # (n_blocks, F, W, C)
+    nb, F, W, C = stacked.shape
+    out = jnp.moveaxis(stacked, 1, 0).reshape(F, nb * W, C)
+    return fin, out
+
+
+class LazyOutputs:
+    """Mapping view over the packed (F, E, C) device array: each name is
+    sliced (one device dispatch) only when first read.  In lazy
+    (download=False) throughput runs only the names the caller touches
+    cost a dispatch — slicing all ~40 up front costs ~40 relay round
+    trips (~0.4 s on the remote TPU link), which round-1 paid per run."""
+
+    def __init__(self, stacked_dev, names, n_epochs):
+        self._stacked = stacked_dev
+        self._idx = {k: i for i, k in enumerate(names)}
+        self._n = n_epochs
+        self._cache = {}
+
+    def __getitem__(self, k):
+        if k not in self._cache:
+            self._cache[k] = self._stacked[self._idx[k]][: self._n].T
+        return self._cache[k]
+
+    def __contains__(self, k):
+        return k in self._idx
+
+    def __iter__(self):
+        return iter(self._idx)
+
+    def __len__(self):
+        return len(self._idx)
+
+    def keys(self):
+        return self._idx.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self._idx)
 
 
 @dataclasses.dataclass
@@ -41,6 +115,7 @@ class TrackResults:
     code_freq: np.ndarray          # (C, E) f64 absolute code frequency
     int_time: float
     settings: Settings = None
+    correlator: str = ""           # which correlator path actually ran
 
     def prompt(self, name: str) -> np.ndarray:
         return self.outputs[name]
@@ -104,7 +179,9 @@ def track(
         if cfg.correlator == "bucket":
             from bds3_tpu.track.pallas_fused import fused_supported
 
-            if jax.default_backend() == "tpu" \
+            # device platform, not default_backend(): backend names vary
+            # under plugin/relay platforms while .platform stays 'tpu'
+            if jax.devices()[0].platform == "tpu" \
                     and fused_supported(cfg, len(inits)):
                 cfg = dataclasses.replace(cfg, correlator="fused")
     elif correlator != cfg.correlator:
@@ -149,11 +226,11 @@ def track(
     # acquisition-aided estimate (~1e-3 samples/epoch + satellite dynamics)
     shift = max(int(np.floor(W * (exp_adv.min() - 0.1))), 0)
 
-    out_chunks = []   # device arrays, downloaded once at the end
-    names = None
-    done = 0
+    # ---- block schedule (host-only arithmetic; NO device sync) ----------
     total = len(signal)
     spread0 = int(cursors0.max() - s0)
+    starts = []
+    done = 0
     while done < n_epochs:
         # conservative bound on current max cursor without a device sync
         worst = spread0 + int(
@@ -166,49 +243,76 @@ def track(
             )
         if s0 + worst + W * per_epoch_max + cfg.n_max > total:
             break  # out of data: return partial results (tracking.m:250-254)
-        block = signal[s0 : s0 + block_len]
-        if len(block) < block_len:
-            pad = block_len - len(block)
-            if isinstance(block, jax.Array):
-                block = jnp.pad(block, (0, pad))
-            else:
-                block = np.concatenate(
-                    [block, np.zeros(pad, block.dtype)]
-                )
-        if not complex_input and block.dtype != np.int8:
-            block = block.astype(np.float32)
-        new_state, outs = track_block(
-            cfg, jnp.asarray(block), data_t, p11_t, p61_t,
-            ckd_i, ckd_f, ck61_i, ck61_f, consts, state,
-        )
-        # pack (W, C) outputs into one (F, W, C) device array; blksize is
-        # < 2^24 so float32 stacking is exact
-        names = sorted(outs.keys())
-        out_chunks.append(jnp.stack(
-            [outs[k].astype(jnp.float32) for k in names]
-        ))
+        starts.append(s0)
         done += W
         s0 += shift
-        state = new_state._replace(cursor=new_state.cursor - shift)
-
-    if not out_chunks:
+    if not starts:
         raise ValueError("not enough signal for a single tracking block")
+    n_blocks = len(starts)
 
-    stacked_dev = jnp.concatenate(out_chunks, axis=1)          # (F, E, C)
+    # ---- fast path: one lax.scan over blocks = ONE device dispatch ------
+    # When the capture is device-resident the whole multi-block run
+    # compiles into a single program: no per-block host orchestration (a
+    # relay-dispatched op costs ~10-60 ms; the round-1 driver spent ~4x
+    # the kernel time on block slicing/stacking dispatches).
+    use_scan = (
+        isinstance(signal, jax.Array)
+        and signal.dtype in (jnp.int8, jnp.float32, jnp.complex64)
+        and total + block_len < 2**31   # int32 offsets inside the scan
+    )
+    from bds3_tpu.track.scan import output_names
+
+    names = output_names(cfg)
+    if use_scan:
+        tail_need = starts[-1] + block_len - total
+        sig_dev = jnp.pad(signal, (0, tail_need)) if tail_need > 0 else signal
+        state_dev = ChannelState(*(jnp.asarray(x) for x in state))
+        _, stacked_dev = _track_blocks_scan(
+            cfg, sig_dev, data_t, p11_t, p61_t,
+            ckd_i, ckd_f, ck61_i, ck61_f, consts, state_dev,
+            n_blocks, block_len, shift, int(starts[0]),
+        )
+    else:
+        out_chunks = []   # device arrays, downloaded once at the end
+        for s_cur in starts:
+            block = signal[s_cur : s_cur + block_len]
+            if len(block) < block_len:
+                pad = block_len - len(block)
+                if isinstance(block, jax.Array):
+                    block = jnp.pad(block, (0, pad))
+                else:
+                    block = np.concatenate(
+                        [block, np.zeros(pad, block.dtype)]
+                    )
+            if not complex_input and block.dtype != np.int8:
+                block = block.astype(np.float32)
+            new_state, outs = track_block(
+                cfg, jnp.asarray(block), data_t, p11_t, p61_t,
+                ckd_i, ckd_f, ck61_i, ck61_f, consts, state,
+            )
+            # pack (W, C) outputs into one (F, W, C) device array; blksize
+            # is < 2^24 so float32 stacking is exact
+            out_chunks.append(jnp.stack(
+                [outs[k].astype(jnp.float32) for k in names]
+            ))
+            state = new_state._replace(cursor=new_state.cursor - shift)
+        stacked_dev = jnp.concatenate(out_chunks, axis=1)
+
+    # stacked_dev: (F, E, C)
     base = np.array([c.acquired_freq for c in inits], dtype=np.float64)
     if not download:
         # lazy mode: outputs stay on device (throughput runs, pipelining);
         # the f64 derived fields need host numpy, so they are omitted
-        outputs = {k: stacked_dev[i][:n_epochs].T
-                   for i, k in enumerate(names)}
+        n_eff = min(n_epochs, int(stacked_dev.shape[1]))
         return TrackResults(
             prns=np.array([c.prn for c in inits]),
             acquired_freq=base,
-            n_epochs=int(outputs["d_ip"].shape[1]),
-            outputs=outputs,
+            n_epochs=n_eff,
+            outputs=LazyOutputs(stacked_dev, names, n_eff),
             absolute_sample=None, carr_freq=None, code_freq=None,
             int_time=settings.int_time,
             settings=settings,
+            correlator=cfg.correlator,
         )
 
     # single packed download for the whole run
@@ -239,4 +343,5 @@ def track(
         code_freq=code_freq,
         int_time=settings.int_time,
         settings=settings,
+        correlator=cfg.correlator,
     )

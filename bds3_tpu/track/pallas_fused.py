@@ -62,8 +62,16 @@ def _geometry(cfg) -> dict:
     m = cfg.m_data
     lm = cfg.code_length * m
     kb = lm + 2 * CODE_PAD + 1          # boundary count (scan.py k_i range)
-    kp = _round_up(kb, BT)
-    tk = kp // BT
+    # Stage-2 tiles are iterated in groups of S2_GROUP (a manual partial
+    # unroll: Mosaic's fori_loop only supports unroll=1 or full, and full
+    # unroll costs minutes of compile for ~20% runtime).  TK is padded to
+    # a group multiple; pad tiles read zero Abel weights so they
+    # contribute exactly 0 (their clipped lookups stay in range).
+    # group=41 measured best (B2a: 0.537 ms/epoch at 23 s compile vs
+    # 0.54/143 s for a fully-unrolled fori_loop, 0.72/13 s at unroll=1)
+    s2_group = int(os.environ.get("FUSED_S2_GROUP", "41"))
+    tk = _round_up(_round_up(kb, BT) // BT, s2_group)
+    kp = tk * BT
     inv0 = 1.0 / (cfg.step_base * m)    # samples per table entry, host f64
     inv0_int = int(np.floor(inv0))
     inv0_frac = float(inv0 - inv0_int)
@@ -96,7 +104,8 @@ def _geometry(cfg) -> dict:
         + int(np.ceil(2.0 * cfg.spacing * m * inv0)) + 8
     s_rows = _round_up(span // LANES + 2, 8)
     rp = r + s_rows                     # scratch rows (slice stays in range)
-    return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, inv0_int=inv0_int,
+    return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
+                inv0_int=inv0_int,
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
                 T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps)
 
@@ -156,6 +165,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     NROWS_B2 = nrows_b2
     C = n_channels
     T, TK, R, S, RP = geo["T"], geo["TK"], geo["R"], geo["S"], geo["RP"]
+    S2G = geo["S2_GROUP"]
     HALF = geo["half_grid"]
     NR = geo["n_ramps"]
     W_TOTAL = cfg.epochs_per_block
@@ -213,7 +223,6 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
         # hoisted constants (shared across channels)
         lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
-        lin_f = lin.astype(jnp.float32)
         # strictly-upper triangular: x @ U = per-row exclusive lane prefix
         utri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -268,6 +277,20 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             slope = a_base + d_cyc
             rem_eff = rem_cyc - off_f * slope
 
+            # carrier trig via angle addition: phase(row, lane) =
+            # (base + row*128*slope) + (lane*slope), so cos/sin of the
+            # full (32, 128) tile come from 32 row + 128 lane
+            # transcendentals and two outer products — the per-sample
+            # cos/sin chain was ~90% of stage-1 time (the stage1 bisect:
+            # 52 ms of a 54 ms block).  mod-1 before multiplying keeps
+            # every f32 phase term small (precision >= the old path,
+            # whose lin*slope product reached ~560 cycles).
+            lane_cyc = jnp.mod(iota_o.astype(jnp.float32) * slope, 1.0)
+            lane_ang = two_pi * lane_cyc                      # (1, 128)
+            cl_t = jnp.cos(lane_ang)
+            sl_t = jnp.sin(lane_ang)
+            step_row = jnp.mod(jnp.float32(LANES) * slope, 1.0)
+
             # --- stage 1: mix + mask + exclusive prefix into p_scr -------
             # tiles fully outside [off, off+blksize) are all-masked: their
             # prefix rows are just the running totals (skip the trig +
@@ -283,13 +306,18 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     gidx = t * SPLIT + lin
                     base_t = carr_s[c, t] + rem_eff \
                         + (t * SPLIT).astype(jnp.float32) * d_cyc
-                    cyc = jnp.mod(base_t + lin_f * slope, 1.0)
-                    ang = two_pi * cyc
+                    row_cyc = jnp.mod(
+                        base_t + iota_r.astype(jnp.float32) * step_row, 1.0)
+                    row_ang = two_pi * row_cyc                # (32, 1)
+                    cr = jnp.cos(row_ang)
+                    sr = jnp.sin(row_ang)
+                    cos_f = cr * cl_t - sr * sl_t             # (32, 128)
+                    sin_f = sr * cl_t + cr * sl_t
                     mask = ((gidx >= off) & (gidx < off + blksize)
                             ).astype(jnp.float32)
                     xm = x * mask
-                    ib = xm * jnp.cos(ang)
-                    qb = -(xm * jnp.sin(ang))
+                    ib = xm * cos_f
+                    qb = -(xm * sin_f)
                     xiq = jnp.concatenate([ib, qb], axis=0)      # (64, 128)
                     lexc = jnp.dot(xiq, utri,
                                    preferred_element_type=jnp.float32)
@@ -319,10 +347,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 p_scr[pl.ds(t * ROWS, ROWS), 128:256] = tile_q
                 return ci_n, cq_n
 
+            # measured: stage1 full unroll does not change runtime but
+            # multiplies compile time (benchmarks/unroll_sweep.py)
             t1 = 1 if bisect in ("nostage1", "none") else T
+            u1 = int(os.environ.get("FUSED_UNROLL_S1", "1"))
             tot_i, tot_q = jax.lax.fori_loop(
                 0, t1, stage1, (jnp.float32(0.0), jnp.float32(0.0)),
-                unroll=t1)
+                unroll=t1 if u1 == 0 else min(u1, t1))
             # P[n_win] lives at (row R, lane 0); rows >= R must be finite
             # (0-weight x NaN would poison the row-select matmul)
             p_scr[pl.ds(R, RP - R), 0:128] = jnp.full((RP - R, 128), tot_i)
@@ -367,14 +398,20 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 row_rel = (j3 >> 7) - q0a                       # (1, NR*BT)
                 lane = j3 & 127
 
-                rowoh = (iota_s3 == row_rel).astype(jnp.float32)
-                sl = p_scr[pl.ds(q0a, S), :]                    # (S, 256)
-                gsel = jax.lax.dot_general(
-                    sl, rowoh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)         # (256, NR*BT)
-                lmask = (iota_l3 == lane).astype(jnp.float32)
-                vi = jnp.sum(gsel[0:128] * lmask, axis=0, keepdims=True)
-                vq = jnp.sum(gsel[128:256] * lmask, axis=0, keepdims=True)
+                # (row, lane) select, lane first: the lane one-hot matmul
+                # contracts over 128 lanes (full MXU pipe; the round-1
+                # row-first order contracted over S=32 rows, <=25%
+                # utilization), then the row select is a cheap (S, NR*BT)
+                # mask-reduce on the VPU.
+                lane_oh = (iota_l3 == lane).astype(jnp.float32)  # (128, NR*BT)
+                sl = p_scr[pl.ds(q0a, S), :]                     # (S, 256)
+                tmp_i = jnp.dot(sl[:, 0:128], lane_oh,
+                                preferred_element_type=jnp.float32)
+                tmp_q = jnp.dot(sl[:, 128:256], lane_oh,
+                                preferred_element_type=jnp.float32)
+                row_m = (iota_s3 == row_rel).astype(jnp.float32)  # (S, NR*BT)
+                vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
+                vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
                 wd = dcode_ref[c, 0, pl.ds(kt, 1), :]           # (1, BT)
                 if use_pilot:
@@ -409,7 +446,14 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             nper = 4 if use_pilot else 2
             acc0 = tuple(jnp.float32(0.0) for _ in range(3 * nper))
             n_s2 = 0 if bisect in ("nostage2", "none") else TK
-            acc = jax.lax.fori_loop(0, n_s2, stage2, acc0, unroll=max(n_s2, 1))
+
+            def stage2_group(g, acc):
+                for ui in range(S2G):
+                    acc = stage2(g * S2G + ui, acc)
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_s2 // S2G, stage2_group, acc0,
+                                    unroll=1)
             if bisect in ("nostage2", "none"):
                 acc = tuple(a + tot_i for a in acc)
             # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)]
@@ -508,7 +552,10 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
     chips (track.driver.channel_code_tables layout).
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # device platform, not default_backend(): backend *names* vary
+        # under plugin/relay platforms (e.g. 'axon') while the device
+        # platform is still 'tpu'
+        interpret = jax.devices()[0].platform != "tpu"
     geo = _geometry(cfg)
     slots = _out_slots(cfg)
     if len(slots) > LANES:

@@ -6,9 +6,19 @@ import os
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache so repeated runs skip
-    the multi-second TPU AOT compiles."""
+    the multi-minute TPU AOT compiles.
+
+    Prefers a repo-local `.xla_cache/` (shipped pre-warmed so a fresh
+    checkout's first bench run hits the cache for the big Mosaic
+    kernels); falls back to ~/.cache/bds3_tpu_xla."""
     import jax
 
+    if path is None:
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".xla_cache")
+        if os.path.isdir(repo_cache):
+            path = repo_cache
     cache_dir = path or os.path.join(
         os.path.expanduser("~"), ".cache", "bds3_tpu_xla"
     )

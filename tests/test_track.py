@@ -174,3 +174,29 @@ class TestB1CTracking:
         # gets the minority DLL weight (~0.16 at 27 MHz front end)
         f = wb_dll_weight(s.code_freq_basis, s.front_end_bw)
         assert 0.05 < f < 0.5
+
+
+class TestDeviceScanPath:
+    def test_scan_equals_host_loop(self):
+        """A device-resident capture takes the one-dispatch lax.scan
+        block loop in track(); it must match the per-block host loop."""
+        import jax.numpy as jnp
+
+        s = b2a_s()
+        sat = SatParams(prn=19, doppler_hz=820.0, code_phase_chips=2100.0,
+                        amplitude=0.8, carrier_phase=0.2)
+        sig = synthesize_if(s, [sat], n_ms=260.0, noise_std=1.5, seed=21)
+        acq = acquire(sig, s)
+        chans = assign_channels(acq, s)
+        # multiple blocks: epochs_per_block=50, 200 epochs -> 4 blocks
+        r_host = track(np.asarray(sig), s, chans, n_epochs=200,
+                       epochs_per_block=50)
+        r_scan = track(jnp.asarray(sig), s, chans, n_epochs=200,
+                       epochs_per_block=50)
+        assert r_host.n_epochs == r_scan.n_epochs
+        for k in ("d_ip", "d_qp", "carr_err", "code_err", "blksize"):
+            a, b = r_host.outputs[k], r_scan.outputs[k]
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4,
+                                       err_msg=k)
+        np.testing.assert_array_equal(r_host.absolute_sample,
+                                      r_scan.absolute_sample)
