@@ -1,13 +1,18 @@
-"""Benchmark: 12-channel B2a closed-loop tracking at the reference
-dataset rate (99.375 Msps), real TPU.
+"""Official benchmark harness (BASELINE.md configs) on the real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: the headline metric (12-channel B2a
+closed-loop tracking real-time factor at the reference dataset rate,
+99.375 Msps — BASELINE config 3) plus a `detail` dict carrying the other
+measured configs and the execution evidence the round-1 verdict demanded:
+backend, device kind, chosen correlator per stage, compile seconds, and
+per-pass wall times.  If the fused Pallas kernel cannot be engaged the
+run still completes on the fallback correlator but the artifact carries
+`"degraded": true` and the reason.
 
 Baseline context (BASELINE.md): the reference MATLAB receiver publishes
 no numbers; its own UI shows multi-minute waitbars per channel for this
-workload, i.e. aggregate 12-channel tracking runs at or well below 1x
-real time on a host CPU.  vs_baseline therefore reports our real-time
-factor against a 1.0x-real-time reference envelope.
+workload (well below 1x real time, single-threaded float64 CPU), so
+vs_baseline reports our real-time factor against a 1.0x envelope.
 """
 import json
 import os
@@ -22,52 +27,48 @@ from bds3_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_capture.npy")
+REPO = os.path.dirname(os.path.abspath(__file__))
 SECONDS = 2.2
-TRACK_EPOCHS = 2000  # 2 s of 1 ms epochs, ONE kernel launch per pass
 CHANNELS = 12
+DETAIL = {"configs": {}, "degraded": False, "notes": []}
+
+B2A_SATS = [(5, 1650.0, 4100.0), (12, -2480.0, 8123.0),
+            (19, 700.0, 55.0), (30, -310.0, 9000.0)]
+B1C_SATS = [(7, 1230.0, 512.0), (21, -2875.0, 7300.0),
+            (30, 460.0, 3100.0), (44, -1040.0, 9755.0)]
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def get_capture(s):
+def get_capture(s, sats, cache_name, n_ms):
     from bds3_tpu.io import SatParams, synthesize_if
 
-    if os.path.exists(CACHE):
-        sig = np.load(CACHE, mmap_mode="r")
-        if sig.shape[0] == int(SECONDS * s.sampling_freq):
+    cache = os.path.join(REPO, cache_name)
+    n = int(n_ms * 1e-3 * s.sampling_freq)
+    if os.path.exists(cache):
+        sig = np.load(cache, mmap_mode="r")
+        if sig.shape[0] == n:
             return sig
-    prns = [5, 12, 19, 30]
-    sats = [
+    sat_params = [
         SatParams(prn=p, doppler_hz=fd, code_phase_chips=cp, amplitude=0.65)
-        for p, fd, cp in zip(prns, (1650.0, -2480.0, 700.0, -310.0),
-                             (4100.0, 8123.0, 55.0, 9000.0))
+        for p, fd, cp in sats
     ]
     t0 = time.time()
-    sig = synthesize_if(s, sats, n_ms=SECONDS * 1e3, noise_std=2.0, seed=11)
-    log(f"[bench] synthesized {sig.nbytes/1e6:.0f} MB in {time.time()-t0:.0f}s")
-    np.save(CACHE, sig)
+    sig = synthesize_if(s, sat_params, n_ms=n_ms, noise_std=2.0, seed=11)
+    log(f"[bench] synthesized {cache_name}: {sig.nbytes/1e6:.0f} MB "
+        f"in {time.time()-t0:.0f}s")
+    np.save(cache, sig)
     return sig
 
 
-def main():
-    from bds3_tpu.config import b2a_settings
-    from bds3_tpu.track.driver import track
+def make_inits(s, sats, n_channels):
     from bds3_tpu.track.state import ChannelInit
 
-    s = b2a_settings()
-    sig = get_capture(s)
-
-    # 12 channels over the 4 synthesized PRNs (channels are independent;
-    # this reproduces the reference's 12-channel workload shape).
-    base = [(5, 1650.0, 4100.0), (12, -2480.0, 8123.0),
-            (19, 700.0, 55.0), (30, -310.0, 9000.0)]
     inits = []
-    for i in range(CHANNELS):
-        prn, fd, cp = base[i % 4]
+    for i in range(n_channels):
+        prn, fd, cp = sats[i % len(sats)]
         code_rate = s.code_freq_basis * (1 + fd / s.carr_freq_basis)
         chi0 = cp % s.code_length
         start = ((s.code_length - chi0) % s.code_length) / code_rate
@@ -75,46 +76,151 @@ def main():
             prn=prn, acquired_freq=s.intermediate_freq + fd,
             code_phase=int(round(start * s.sampling_freq)), peak_metric=2.0,
         ))
+    return inits
 
+
+def bench_tracking(name, s, sig_dev, inits, n_epochs, epochs_per_block,
+                   passes, want="fused"):
+    """Closed-loop tracking throughput; returns realtime factor."""
+    import jax.numpy as jnp  # noqa: F401  (device residency via caller)
+
+    from bds3_tpu.track.driver import track
+
+    correlator = want
+    t0 = time.time()
+    try:
+        res = track(sig_dev, s, inits, n_epochs=n_epochs,
+                    epochs_per_block=epochs_per_block,
+                    correlator=correlator, download=False)
+        np.asarray(res.outputs["d_ip"][:, -1:])   # force compile+run
+    except Exception as e:  # loud fallback, never silent
+        log(f"[bench] !! correlator={want} failed for {name}: {e!r}")
+        log(f"[bench] !! falling back to correlator=auto (DEGRADED)")
+        DETAIL["degraded"] = True
+        DETAIL["notes"].append(f"{name}: {want} failed: {type(e).__name__}")
+        correlator = "auto"
+        res = track(sig_dev, s, inits, n_epochs=n_epochs,
+                    epochs_per_block=epochs_per_block,
+                    correlator=correlator, download=False)
+        np.asarray(res.outputs["d_ip"][:, -1:])
+    compile_s = time.time() - t0
+    ran = res.correlator
+    log(f"[bench] {name}: correlator={ran} warmup+compile {compile_s:.1f}s")
+
+    walls = []
+    for _ in range(passes):
+        t0 = time.time()
+        res = track(sig_dev, s, inits, n_epochs=n_epochs,
+                    epochs_per_block=epochs_per_block,
+                    correlator=correlator, download=False)
+        ip = np.asarray(res.outputs["d_ip"][:, -200:])  # sync each pass
+        walls.append(time.time() - t0)
+    qp = np.asarray(res.outputs["d_qp"][:, -200:])
+    locked = int((np.abs(ip).mean(axis=1) > 4 * np.abs(qp).mean(axis=1)).sum())
+    best = min(walls)
+    tracked_s = res.n_epochs * s.int_time
+    rt = tracked_s / best
+    n_ch = len(inits)
+    log(f"[bench] {name}: {tracked_s:.2f}s x {n_ch}ch in {best:.2f}s best "
+        f"(walls {[round(w, 2) for w in walls]}) -> {rt:.2f}x realtime "
+        f"({rt * s.sampling_freq * n_ch / 1e9:.2f} G corr-samples/s); "
+        f"locked {locked}/{n_ch}")
+    if want == "fused" and ran != "fused":
+        DETAIL["degraded"] = True
+        DETAIL["notes"].append(f"{name}: wanted fused, ran {ran}")
+    DETAIL["configs"][name] = {
+        "realtime_factor": round(rt, 3),
+        "ms_per_epoch": round(best / res.n_epochs * 1e3, 4),
+        "corr_gsamples_per_s": round(rt * s.sampling_freq * n_ch / 1e9, 2),
+        "correlator": ran,
+        "compile_s": round(compile_s, 1),
+        "pass_walls_s": [round(w, 2) for w in walls],
+        "channels": n_ch,
+        "epochs": res.n_epochs,
+        "locked": locked,
+    }
+    return rt
+
+
+def bench_acquisition(s, sig, n_prns):
+    """Cold-start PCPS acquisition wall time over n_prns satellites."""
+    from bds3_tpu.acquire import acquire
+    from bds3_tpu.receiver import acquisition_signal_length
+
+    prns = tuple(range(1, n_prns + 1))
+    win = np.asarray(sig[: acquisition_signal_length(s)])
+    t0 = time.time()
+    res = acquire(win, s, prns)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res = acquire(win, s, prns)
+    wall = time.time() - t0
+    ndet = int(res.detected.sum())
+    log(f"[bench] acquisition_b2a: {n_prns} PRNs in {wall:.2f}s warm "
+        f"(compile+first {compile_s:.1f}s), detected {ndet}")
+    DETAIL["configs"]["acquisition_b2a"] = {
+        "prns": n_prns,
+        "wall_s": round(wall, 2),
+        "prn_per_s": round(n_prns / wall, 1),
+        "compile_s": round(compile_s, 1),
+        "detected": ndet,
+    }
+
+
+def main():
     import jax
+
+    from bds3_tpu.config import b1c_settings, b2a_settings
+
+    dev = jax.devices()[0]
+    DETAIL["backend"] = jax.default_backend()
+    DETAIL["device"] = str(dev)
+    DETAIL["device_kind"] = getattr(dev, "device_kind", "?")
+    DETAIL["platform"] = dev.platform
+    log(f"[bench] device={dev} platform={dev.platform} "
+        f"backend={jax.default_backend()}")
+    if dev.platform != "tpu":
+        DETAIL["degraded"] = True
+        DETAIL["notes"].append(f"not a TPU: {dev.platform}")
+
     import jax.numpy as jnp
 
-    # device-resident capture: a production receiver streams samples to
-    # HBM once; per-block slices stay on device
-    sig_dev = jnp.asarray(sig)
+    # ---- config 3 (headline): 12-channel B2a tracking ------------------
+    s2 = b2a_settings()
+    sig2 = get_capture(s2, B2A_SATS, ".bench_capture.npy", SECONDS * 1e3)
+    sig2_dev = jnp.asarray(sig2)
+    inits2 = make_inits(s2, B2A_SATS, CHANNELS)
+    rt = bench_tracking("tracking_b2a_12ch", s2, sig2_dev, inits2,
+                        n_epochs=2000, epochs_per_block=2000, passes=6)
 
-    log("[bench] warmup/compile run...")
-    t0 = time.time()
-    track(sig_dev, s, inits, n_epochs=TRACK_EPOCHS,
-          epochs_per_block=TRACK_EPOCHS, download=False)
-    log(f"[bench] warmup {time.time()-t0:.1f}s")
+    # ---- config 1: B2a cold-start acquisition ---------------------------
+    try:
+        bench_acquisition(s2, sig2, n_prns=63)
+    except Exception as e:
+        log(f"[bench] acquisition bench failed: {e!r}")
+        DETAIL["notes"].append(f"acquisition_b2a failed: {type(e).__name__}")
 
-    # steady-state throughput: PASSES independent 12-channel runs chained
-    # on-device (lazy outputs), one synchronizing download at the end.
-    # One whole pass per kernel launch: the axon relay costs ~10-30 ms
-    # per dispatched op, so per-block host orchestration must be rare.
-    PASSES = 8
-    t0 = time.time()
-    res = None
-    for i in range(PASSES):
-        res = track(sig_dev, s, inits, n_epochs=TRACK_EPOCHS,
-                    epochs_per_block=TRACK_EPOCHS, download=False)
-    ip = np.asarray(res.outputs["d_ip"][:, -200:])   # sync point
-    qp = np.asarray(res.outputs["d_qp"][:, -200:])
-    wall = time.time() - t0
-    tracked_s = PASSES * res.n_epochs * s.int_time
-    rt = tracked_s / wall
-    log(f"[bench] tracked {tracked_s:.2f}s x {CHANNELS}ch in {wall:.2f}s "
-        f"-> {rt:.2f}x realtime "
-        f"({rt * s.sampling_freq * CHANNELS/1e9:.2f} G corr-samples/s)")
-    locked = (np.abs(ip).mean(axis=1) > 4 * np.abs(qp).mean(axis=1)).sum()
-    log(f"[bench] locked channels: {locked}/{CHANNELS}")
+    # ---- config 2: B1C tracking at the reference dataset rate ----------
+    try:
+        # the published B1C dataset rate (README.md:99-104)
+        s1 = b1c_settings(sampling_freq=99.375e6, intermediate_freq=14.58e6)
+        sig1 = get_capture(s1, B1C_SATS, ".bench_capture_b1c.npy", 2200.0)
+        sig1_dev = jnp.asarray(sig1)
+        inits1 = make_inits(s1, B1C_SATS, CHANNELS)
+        bench_tracking("tracking_b1c_12ch_nb", s1, sig1_dev, inits1,
+                       n_epochs=200, epochs_per_block=50, passes=3)
+        del sig1_dev
+    except Exception as e:
+        log(f"[bench] B1C tracking bench failed: {e!r}")
+        DETAIL["notes"].append(f"tracking_b1c failed: {type(e).__name__}")
 
+    # ---- headline JSON ---------------------------------------------------
     print(json.dumps({
         "metric": "b2a_12ch_tracking_realtime_factor",
         "value": round(rt, 3),
         "unit": "x_realtime_99.375Msps",
         "vs_baseline": round(rt / 1.0, 3),
+        "detail": DETAIL,
     }))
 
 
