@@ -168,10 +168,6 @@ def track(
     import jax
 
     complex_input = np.iscomplexobj(signal)
-    if complex_input:
-        # complex64 windows are 8 bytes/sample: bound the pre-gathered
-        # (W, C, n_win) buffer to ~1 GB
-        epochs_per_block = min(epochs_per_block, 64)
     cfg = make_track_config(settings, complex_input, epochs_per_block)
     if correlator == "auto":
         # keep whatever the (possibly monkeypatched) config factory chose
@@ -181,11 +177,21 @@ def track(
 
             # device platform, not default_backend(): backend names vary
             # under plugin/relay platforms while .platform stays 'tpu'
+            wb = 1 if np.dtype(signal.dtype) == np.int8 else 4
             if jax.devices()[0].platform == "tpu" \
-                    and fused_supported(cfg, len(inits)):
+                    and fused_supported(cfg, len(inits), win_bytes=wb):
                 cfg = dataclasses.replace(cfg, correlator="fused")
     elif correlator != cfg.correlator:
         cfg = dataclasses.replace(cfg, correlator=correlator)
+    if complex_input and cfg.correlator != "fused" \
+            and epochs_per_block > 64:
+        # the scan path pre-gathers complex64 windows (8 bytes/sample):
+        # bound the (W, C, n_win) buffer to ~1 GB.  The fused kernel
+        # streams windows itself, so it keeps the full block size.
+        corr = cfg.correlator
+        cfg = dataclasses.replace(
+            make_track_config(settings, complex_input, 64),
+            correlator=corr)
     if n_epochs is None:
         n_epochs = settings.int_epochs
 

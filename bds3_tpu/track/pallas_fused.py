@@ -110,15 +110,22 @@ def _geometry(cfg) -> dict:
                 T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps)
 
 
-def fused_supported(cfg, n_channels: int = 12) -> bool:
-    """Whether this TrackConfig fits the fused kernel (shape + VMEM)."""
-    if cfg.complex_input or cfg.m_p61:
+def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
+    """Whether this TrackConfig fits the fused kernel (shape + VMEM).
+
+    Covers B2a (all modes) and B1C narrowband/data-only, real or complex
+    IQ input, at any rate that fits the budget — the depth-2 window ring
+    makes window VMEM independent of channel count, so full-rate B1C
+    10 ms epochs and 24-48 channel B2a both fit.  BOC(6,1) wideband
+    still falls back to the XLA bucket path."""
+    if cfg.m_p61:
         return False
     geo = _geometry(cfg)
-    win_b = 1 if cfg.complex_input else 1
+    # complex input rides the ring as two f32 planes
+    win_b = 8 if cfg.complex_input else win_bytes
     n_planes = 4 if geo["half_grid"] else 2
     vmem = (geo["RP"] * 256 * 4                       # prefix scratch
-            + 2 * n_channels * geo["n_win"] * win_b   # window double buffer
+            + 2 * geo["n_win"] * win_b                # window ring (depth 2)
             + n_channels * n_planes * geo["kp"] * 4   # dcode tables
             + 2 * n_channels * 8 * LANES * 4)         # output blocks
     return vmem <= VMEM_BUDGET
@@ -183,6 +190,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     inv2pi = np.float32(1.0 / (2.0 * np.pi))
     is_b1c = cfg.signal == Signal.B1C
     use_pilot = cfg.use_pilot
+    cplx = cfg.complex_input
     two_pi = np.float32(2.0 * np.pi)
     bisect = os.environ.get("FUSED_BISECT", "full")
     slots = _out_slots(cfg)
@@ -193,31 +201,44 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                tbint_s, tbfrac_s, statef_s, cursorin_s, b2_ref, dcode_ref,
                out_ref, curout_s, p_scr, stf, sti, win_scr, dma_sem):
         w = pl.program_id(0)
-        slot = jax.lax.rem(w, 2)
 
-        # windows stream HBM->VMEM by explicit double-buffered DMA: the
-        # XLA pre-gather pass cost ~0.11 ms/epoch (1D) / ~0.03 ms/epoch
-        # (row-sliced) and materialized a (W, C, n_win) HBM buffer;
-        # in-kernel copies overlap the previous epoch's compute and touch
-        # each input byte once (benchmarks/fused_parts.py)
-        # window starts align to the int8 HBM tile (32 rows x (8,128)
+        # windows stream HBM->VMEM by explicit DMA on a per-(epoch,
+        # channel) ring of depth 2: sequence n = w*C + c uses buffer
+        # n % 2; the DMA for n+2 is issued right after sequence n's
+        # stage 1 finishes reading that buffer (synchronous VPU loads,
+        # so program order suffices).  Window VMEM is therefore
+        # 2 * n_win bytes *independent of channel count* — the round-1
+        # per-(slot, channel) buffering (2*C*n_win) was what pushed
+        # B1C's 10 ms epochs and >16-channel B2a over the VMEM budget.
+        # The XLA pre-gather alternative cost ~0.11 ms/epoch and
+        # materialized a (W, C, n_win) HBM buffer
+        # (benchmarks/fused_parts.py).
+        # Window starts align to the int8 HBM tile (32 rows x (8,128)
         # packing = 4096 samples); `off` absorbs the remainder.  Unlike
         # XLA's dynamic-slice, a raw DMA does NOT clamp out-of-range
         # starts (it faults the TPU worker), so clamp to the block tail —
         # the driver never tracks past the provided block, this only
         # guards the out-of-data regime.
         r0_max = (NROWS_B2 - R_WIN) // 32 * 32
+        N_SEQ = W_TOTAL * C
 
         def win_r0(w_, c_):
             s_nom = cursor0_s[c_] + w_ * adv_s[c_] - START_GUARD
             r0 = jnp.clip((s_nom >> 12) << 12 >> 7, 0, r0_max)
             return pl.multiple_of(r0, 32)
 
-        def win_dma(w_, slot_, c_):
+        def win_dma_n(n_):
+            w_ = n_ // C
+            c_ = jax.lax.rem(n_, C)
+            if cplx:
+                # two f32 planes (I, Q) per window, copied in one DMA
+                src = b2_ref.at[:, pl.ds(win_r0(w_, c_), R_WIN), :]
+            else:
+                src = b2_ref.at[pl.ds(win_r0(w_, c_), R_WIN), :]
             return pltpu.make_async_copy(
-                b2_ref.at[pl.ds(win_r0(w_, c_), R_WIN), :],
-                win_scr.at[slot_, c_],
-                dma_sem.at[slot_, c_],
+                src,
+                win_scr.at[jax.lax.rem(n_, 2)],
+                dma_sem.at[jax.lax.rem(n_, 2)],
             )
 
         # hoisted constants (shared across channels)
@@ -241,15 +262,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     stf[c0, i] = statef_s[c0, i]
             for c0 in range(C):
                 sti[c0, 0] = cursorin_s[c0]
-                win_dma(0, 0, c0).start()
-
-        @pl.when(w + 1 < W_TOTAL)
-        def _():
-            for c0 in range(C):
-                win_dma(w + 1, 1 - slot, c0).start()
+            win_dma_n(jnp.int32(0)).start()
+            if N_SEQ > 1:
+                win_dma_n(jnp.int32(1)).start()
 
         def one_channel(c, _):
-            win_dma(w, slot, c).wait()
+            n_seq = w * C + c
+            win_dma_n(n_seq).wait()
             rem_code = stf[c, 0]
             rem_cyc = stf[c, 1]
             d_cyc = stf[c, 2]
@@ -301,8 +320,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
                 def full(cin):
                     ci2, cq2 = cin
-                    x = win_scr[slot, c, pl.ds(t * ROWS, ROWS), :].astype(
-                        jnp.float32)
+                    ring = jax.lax.rem(w * C + c, 2)
                     gidx = t * SPLIT + lin
                     base_t = carr_s[c, t] + rem_eff \
                         + (t * SPLIT).astype(jnp.float32) * d_cyc
@@ -315,9 +333,18 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     sin_f = sr * cl_t + cr * sl_t
                     mask = ((gidx >= off) & (gidx < off + blksize)
                             ).astype(jnp.float32)
-                    xm = x * mask
-                    ib = xm * cos_f
-                    qb = -(xm * sin_f)
+                    if cplx:
+                        # (I + jQ) * e^{-j theta} (scan.py:145-148)
+                        xr = win_scr[ring, 0, pl.ds(t * ROWS, ROWS), :] * mask
+                        xi = win_scr[ring, 1, pl.ds(t * ROWS, ROWS), :] * mask
+                        ib = xr * cos_f + xi * sin_f
+                        qb = xi * cos_f - xr * sin_f
+                    else:
+                        x = win_scr[ring, pl.ds(t * ROWS, ROWS), :].astype(
+                            jnp.float32)
+                        xm = x * mask
+                        ib = xm * cos_f
+                        qb = -(xm * sin_f)
                     xiq = jnp.concatenate([ib, qb], axis=0)      # (64, 128)
                     lexc = jnp.dot(xiq, utri,
                                    preferred_element_type=jnp.float32)
@@ -358,6 +385,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             # (0-weight x NaN would poison the row-select matmul)
             p_scr[pl.ds(R, RP - R), 0:128] = jnp.full((RP - R, 128), tot_i)
             p_scr[pl.ds(R, RP - R), 128:256] = jnp.full((RP - R, 128), tot_q)
+
+            # stage 1 was this sequence's last read of its window buffer;
+            # start refilling it with sequence n+2's window (the VPU loads
+            # above are synchronous, so program order is a real barrier)
+            @pl.when(n_seq + 2 < N_SEQ)
+            def _():
+                win_dma_n(n_seq + 2).start()
 
             # --- stage 2: boundary lookups + correlator dots -------------
             smm = sbm + d_step * m
@@ -590,11 +624,19 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
     adv_int = jnp.asarray(consts.adv_int, jnp.int32)
 
     # the kernel DMAs its own 4096-sample-aligned epoch windows from the
-    # raw block rows (see win_dma); tail pad so the slice never runs off
-    # the end of the array
+    # raw block rows (see win_dma_n); tail pad so the slice never runs
+    # off the end of the array
     r_win = geo["n_win"] // LANES
     pad = (-block.shape[0]) % LANES + geo["n_win"] + SPLIT
-    b2 = jnp.pad(block, (0, pad)).reshape(-1, LANES)
+    if cfg.complex_input:
+        # complex64 -> two f32 planes (I, Q); the window ring then holds
+        # f32 planes and stage 1 mixes both components
+        planes2 = jnp.stack([jnp.real(block), jnp.imag(block)])
+        b2 = jnp.pad(planes2, ((0, 0), (0, pad))).reshape(2, -1, LANES)
+        nrows_b2 = int(b2.shape[1])
+    else:
+        b2 = jnp.pad(block, (0, pad)).reshape(-1, LANES)
+        nrows_b2 = int(b2.shape[0])
 
     statef = jnp.stack([
         jnp.asarray(state.rem_code_phase, jnp.float32),
@@ -607,7 +649,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
         jnp.asarray(state.d2_carr, jnp.float32),
     ], axis=1)                                            # (C, 8)
 
-    kernel = _make_kernel(cfg, geo, C, int(b2.shape[0]))
+    kernel = _make_kernel(cfg, geo, C, nrows_b2)
 
     out4, cur_out = pl.pallas_call(
         kernel,
@@ -642,8 +684,10 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pltpu.VMEM((geo["RP"], 256), jnp.float32),
             pltpu.SMEM((C, 10), jnp.float32),
             pltpu.SMEM((C, 2), jnp.int32),
-            pltpu.VMEM((2, C, r_win, LANES), b2.dtype),   # window buffers
-            pltpu.SemaphoreType.DMA((2, C)),
+            (pltpu.VMEM((2, 2, r_win, LANES), jnp.float32)
+             if cfg.complex_input else
+             pltpu.VMEM((2, r_win, LANES), b2.dtype)),    # window ring
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(cursor0, adv_int,

@@ -201,14 +201,27 @@ def main():
         DETAIL["notes"].append(f"acquisition_b2a failed: {type(e).__name__}")
 
     # ---- config 2: B1C tracking at the reference dataset rate ----------
+    # the capture is synthesized with the full QMBOC pilot (wideband
+    # settings = the true on-air signal); NB mode then tracks its
+    # BOC(1,1) components exactly as NB_tracking.m does.
     try:
+        from bds3_tpu.config import TrackMode
+
         # the published B1C dataset rate (README.md:99-104)
         s1 = b1c_settings(sampling_freq=99.375e6, intermediate_freq=14.58e6)
         sig1 = get_capture(s1, B1C_SATS, ".bench_capture_b1c.npy", 2200.0)
         sig1_dev = jnp.asarray(sig1)
         inits1 = make_inits(s1, B1C_SATS, CHANNELS)
-        bench_tracking("tracking_b1c_12ch_nb", s1, sig1_dev, inits1,
-                       n_epochs=200, epochs_per_block=50, passes=3)
+        s1nb = b1c_settings(sampling_freq=99.375e6,
+                            intermediate_freq=14.58e6,
+                            track_mode=TrackMode.NARROWBAND)
+        bench_tracking("tracking_b1c_12ch_nb", s1nb, sig1_dev, inits1,
+                       n_epochs=200, epochs_per_block=200, passes=3)
+        # wideband QMBOC (18 correlators) — no fused path yet, measure
+        # the XLA bucket envelope
+        bench_tracking("tracking_b1c_12ch_wb", s1, sig1_dev, inits1,
+                       n_epochs=100, epochs_per_block=50, passes=2,
+                       want="auto")
         del sig1_dev
     except Exception as e:
         log(f"[bench] B1C tracking bench failed: {e!r}")

@@ -84,13 +84,78 @@ class TestFusedKernel:
         cfg = make_track_config(s)
         assert fused_supported(cfg, 12)
         cfg_cplx = make_track_config(s, complex_input=True)
-        assert not fused_supported(cfg_cplx, 12)
+        assert fused_supported(cfg_cplx, 12)    # complex rides f32 planes
         from bds3_tpu.config import TrackMode, b1c_settings
 
         s_wb = b1c_settings(sampling_freq=30e6, intermediate_freq=7.5e6,
                             track_mode=TrackMode.WIDEBAND)
         cfg_wb = make_track_config(s_wb)
         assert not fused_supported(cfg_wb, 12)
+        # B1C narrowband fits at every dataset rate for int8 captures —
+        # the depth-2 window ring keeps window VMEM independent of C
+        s_nb = b1c_settings(track_mode=TrackMode.NARROWBAND)
+        cfg_nb = make_track_config(s_nb)          # 99.375 Msps, 10 ms epochs
+        assert fused_supported(cfg_nb, 12, win_bytes=1)
+        assert not fused_supported(cfg_nb, 12, win_bytes=4)
+
+    def test_complex_iq_matches_bucket(self):
+        """Complex IQ captures ride the window ring as two f32 planes;
+        the mix must match scan.py's (I+jQ)*e^{-j theta} convention."""
+        from bds3_tpu.config import FileType
+
+        s = b2a_settings(sampling_freq=10e6, intermediate_freq=2.5e6,
+                         file_type=FileType.IQ8)
+        sats = [
+            SatParams(prn=19, doppler_hz=400.0, code_phase_chips=500.0,
+                      amplitude=0.8),
+            SatParams(prn=20, doppler_hz=-1500.0, code_phase_chips=3000.0,
+                      amplitude=0.7),
+        ]
+        raw = synthesize_if(s, sats, n_ms=60.0, noise_std=1.5, seed=12)
+        sig = (raw[:, 0].astype(np.float32)
+               + 1j * raw[:, 1].astype(np.float32)).astype(np.complex64)
+        inits = [_init_for(s, sat) for sat in sats]
+        res = {c: track(sig, s, inits, n_epochs=30, epochs_per_block=30,
+                        correlator=c) for c in ("bucket", "fused")}
+        np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                      res["fused"].outputs["blksize"])
+        for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp",
+                  "carr_err", "code_err"):
+            a = res["bucket"].outputs[k]
+            b = res["fused"].outputs[k]
+            scale = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                       err_msg=k)
+
+    def test_b1c_narrowband_matches_bucket(self):
+        """B1C NB (BOC(1,1) data+pilot, 11/29 weighting, 10 ms epochs)
+        through the fused kernel vs the XLA bucket path
+        (NB_tracking.m:328-384 semantics)."""
+        from bds3_tpu.config import TrackMode, b1c_settings
+
+        s = b1c_settings(sampling_freq=6e6, intermediate_freq=1.5e6,
+                         track_mode=TrackMode.NARROWBAND)
+        sats = [
+            SatParams(prn=7, doppler_hz=430.0, code_phase_chips=212.0,
+                      amplitude=0.9),
+            SatParams(prn=30, doppler_hz=-2100.0, code_phase_chips=8000.0,
+                      amplitude=0.8),
+        ]
+        sig = synthesize_if(s, sats, n_ms=120.0, noise_std=1.0, seed=12)
+        inits = [_init_for(s, sat) for sat in sats]
+        res = {c: track(sig, s, inits, n_epochs=8, epochs_per_block=8,
+                        correlator=c) for c in ("bucket", "fused")}
+        np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                      res["fused"].outputs["blksize"])
+        np.testing.assert_array_equal(res["bucket"].absolute_sample,
+                                      res["fused"].absolute_sample)
+        for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp",
+                  "carr_err", "code_err"):
+            a = res["bucket"].outputs[k]
+            b = res["fused"].outputs[k]
+            scale = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                       err_msg=k)
 
     def test_half_grid_matches_bucket_full_rate(self):
         """The 2-ramp half-grid stage 2 only activates at full rate
