@@ -167,6 +167,40 @@ def bench_acquisition(s, sig, n_prns):
     }
 
 
+def bench_full_receiver(s, sig):
+    """BASELINE config 4: cold-start acquisition (all 63 PRNs) ->
+    channel assignment -> fused tracking -> decode attempt -> PVT gate,
+    via the public run_receiver orchestration (postProcessing.m role).
+    The 2.2 s capture is too short for a B-CNAV2 ephemeris set, so the
+    metric is whole-pipeline throughput; fix accuracy (<1 m) is pinned
+    by tests/test_e2e_pvt.py."""
+    import dataclasses as _dc
+
+    from bds3_tpu.receiver import run_receiver
+
+    s_all = _dc.replace(s, acq_satellite_list=tuple(range(1, 64)))
+    t0 = time.time()
+    res = run_receiver(np.asarray(sig), s_all, n_epochs=2000,
+                       epochs_per_block=2000, verbose=False)
+    wall = time.time() - t0
+    n_ch = len(res.channels)
+    processed = res.track.n_epochs * s.int_time if res.track else 0.0
+    rt = processed / wall
+    corr = res.track.correlator if res.track else "none"
+    log(f"[bench] full_receiver_b2a: acq(63 PRN)+track({n_ch}ch)+decode+pvt "
+        f"in {wall:.1f}s cold ({processed:.1f}s tracked, {rt:.2f}x rt "
+        f"incl. compile, correlator={corr})")
+    DETAIL["configs"]["full_receiver_b2a"] = {
+        "wall_s_cold": round(wall, 1),
+        "tracked_s": round(processed, 2),
+        "realtime_factor_cold": round(rt, 3),
+        "channels": n_ch,
+        "correlator": corr,
+        "timings": {k: round(v, 2) for k, v in res.timings.items()
+                    if isinstance(v, (int, float))},
+    }
+
+
 def main():
     import jax
 
@@ -199,6 +233,26 @@ def main():
     except Exception as e:
         log(f"[bench] acquisition bench failed: {e!r}")
         DETAIL["notes"].append(f"acquisition_b2a failed: {type(e).__name__}")
+
+    # ---- config 5 (single-chip aggregate): 48-channel B2a ---------------
+    # the north-star metric is aggregate correlated samples/s/chip; the
+    # window-ring kernel's VMEM is channel-count independent, so one chip
+    # tracks 4x the reference's channel load (multi-chip scaling of the
+    # same program is validated on the virtual mesh by dryrun_multichip)
+    try:
+        inits48 = make_inits(s2, B2A_SATS, 48)
+        bench_tracking("tracking_b2a_48ch", s2, sig2_dev, inits48,
+                       n_epochs=2000, epochs_per_block=2000, passes=3)
+    except Exception as e:
+        log(f"[bench] 48ch bench failed: {e!r}")
+        DETAIL["notes"].append(f"tracking_b2a_48ch failed: {type(e).__name__}")
+
+    # ---- config 4: full receiver, cold start ----------------------------
+    try:
+        bench_full_receiver(s2, sig2)
+    except Exception as e:
+        log(f"[bench] full receiver bench failed: {e!r}")
+        DETAIL["notes"].append(f"full_receiver_b2a failed: {type(e).__name__}")
 
     # ---- config 2: B1C tracking at the reference dataset rate ----------
     # the capture is synthesized with the full QMBOC pilot (wideband
