@@ -318,10 +318,12 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             def stage1(t, carry):
                 ci, cq = carry
 
-                def full(cin):
-                    ci2, cq2 = cin
+                def mix(masked):
+                    """Carrier mix of tile t; `masked` (static) selects
+                    the edge-tile path that zeroes samples outside
+                    [off, off+blksize) — interior tiles (all but ~2 per
+                    epoch) skip the iota/compare/multiply chain."""
                     ring = jax.lax.rem(w * C + c, 2)
-                    gidx = t * SPLIT + lin
                     base_t = carr_s[c, t] + rem_eff \
                         + (t * SPLIT).astype(jnp.float32) * d_cyc
                     row_cyc = jnp.mod(
@@ -331,20 +333,30 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     sr = jnp.sin(row_ang)
                     cos_f = cr * cl_t - sr * sl_t             # (32, 128)
                     sin_f = sr * cl_t + cr * sl_t
-                    mask = ((gidx >= off) & (gidx < off + blksize)
-                            ).astype(jnp.float32)
+                    if masked:
+                        gidx = t * SPLIT + lin
+                        mask = ((gidx >= off) & (gidx < off + blksize)
+                                ).astype(jnp.float32)
                     if cplx:
                         # (I + jQ) * e^{-j theta} (scan.py:145-148)
-                        xr = win_scr[ring, 0, pl.ds(t * ROWS, ROWS), :] * mask
-                        xi = win_scr[ring, 1, pl.ds(t * ROWS, ROWS), :] * mask
+                        xr = win_scr[ring, 0, pl.ds(t * ROWS, ROWS), :]
+                        xi = win_scr[ring, 1, pl.ds(t * ROWS, ROWS), :]
+                        if masked:
+                            xr = xr * mask
+                            xi = xi * mask
                         ib = xr * cos_f + xi * sin_f
                         qb = xi * cos_f - xr * sin_f
                     else:
                         x = win_scr[ring, pl.ds(t * ROWS, ROWS), :].astype(
                             jnp.float32)
-                        xm = x * mask
-                        ib = xm * cos_f
-                        qb = -(xm * sin_f)
+                        if masked:
+                            x = x * mask
+                        ib = x * cos_f
+                        qb = -(x * sin_f)
+                    return ib, qb
+
+                def prefix(cin, ib, qb):
+                    ci2, cq2 = cin
                     xiq = jnp.concatenate([ib, qb], axis=0)      # (64, 128)
                     lexc = jnp.dot(xiq, utri,
                                    preferred_element_type=jnp.float32)
@@ -362,14 +374,23 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     return (lexc[0:ROWS] + (ri + ci2),
                             lexc[ROWS:] + (rq + cq2), ci2 + ti, cq2 + tq)
 
+                def interior(cin):
+                    return prefix(cin, *mix(False))
+
+                def edge(cin):
+                    return prefix(cin, *mix(True))
+
                 def skip(cin):
                     return (jnp.full((ROWS, LANES), cin[0]),
                             jnp.full((ROWS, LANES), cin[1]), cin[0], cin[1])
 
-                active = (t * SPLIT + SPLIT > off) \
-                    & (t * SPLIT < off + blksize)
+                t0s = t * SPLIT
+                active = (t0s + SPLIT > off) & (t0s < off + blksize)
+                inside = (t0s >= off) & (t0s + SPLIT <= off + blksize)
                 tile_i, tile_q, ci_n, cq_n = jax.lax.cond(
-                    active, full, skip, (ci, cq))
+                    active,
+                    lambda cin: jax.lax.cond(inside, interior, edge, cin),
+                    skip, (ci, cq))
                 p_scr[pl.ds(t * ROWS, ROWS), 0:128] = tile_i
                 p_scr[pl.ds(t * ROWS, ROWS), 128:256] = tile_q
                 return ci_n, cq_n

@@ -52,11 +52,18 @@ def main():
     print(f"W={W} C={C} n_win={cfg.n_win} q0={cfg.q0_int}")
 
     def run_chain(fn, reps, state):
-        """Chain `reps` dependent blocks; sync with one tiny download."""
+        """Launch `reps` independent blocks (same initial state; the
+        TensorCore executes enqueued programs serially) and sync once.
+
+        NOTE: do NOT chain the carried state across reps with a fixed
+        block — the cursor runs off the block end, stage 1's
+        active-tile guard then skips every tile, and the 'kernel time'
+        collapses to stage-2-only (this bug produced the bogus
+        0.05 ms/epoch reading that round-2 chased for hours)."""
         t0 = time.time()
-        st, outs = state, None
+        outs = None
         for _ in range(reps):
-            st, outs = fn(block, data_t, p11_t, consts, st)
+            _st, outs = fn(block, data_t, p11_t, consts, state)
         np.asarray(outs["d_ip"][-4:, :])   # sync point
         return time.time() - t0
 
