@@ -30,9 +30,12 @@ track/scan.py's bucket correlator to float32 tolerance (the boundary
 index split here is slightly *more* precise: the k*frac ramp is rebased
 per boundary tile from host float64 tables).
 
-Supported configs: real-valued input, no BOC(6,1) taps (B2a all modes,
-B1C narrowband/data-only), window buffers within the VMEM budget.
-Other configs fall back to the scan path (track/scan.py dispatches).
+Supported configs: B2a (all modes), B1C narrowband/data-only, and B1C
+wideband QMBOC (the BOC(6,1) pilot tap runs a second stage-2 pass over
+the same prefix scratch on the m=12 boundary grid, weights DMA'd from
+HBM on a depth-2 per-channel ring), real or complex IQ input, within
+the VMEM budget.  Others fall back to the scan path (track/scan.py
+dispatches).
 """
 from __future__ import annotations
 
@@ -100,14 +103,39 @@ def _geometry(cfg) -> dict:
     # after flooring the start row to a multiple of `align` (slack
     # align*128-1), plus the early-late correlator offset spread
     align = int(os.environ.get("FUSED_ROW_ALIGN", "8"))
-    span = (align * LANES - 1) + int(np.ceil((BT - 1) * inv0)) \
-        + int(np.ceil(2.0 * cfg.spacing * m * inv0)) + 8
-    s_rows = _round_up(span // LANES + 2, 8)
-    rp = r + s_rows                     # scratch rows (slice stays in range)
+
+    def row_span(m_, inv_):
+        span = (align * LANES - 1) + int(np.ceil((BT - 1) * inv_)) \
+            + int(np.ceil(2.0 * cfg.spacing * m_ * inv_)) + 8
+        return _round_up(span // LANES + 2, 8)
+
+    s_rows = row_span(m, inv0)
+    # B1C wideband: a second boundary family for the BOC(6,1) pilot tap
+    # (WB_tracking.m:348-381).  It reuses the SAME mixed-I/Q prefix from
+    # stage 1 — only stage 2 runs again on the m=12 boundary grid, with
+    # the Abel weights DMA'd per channel from HBM (~0.5 MB each, too big
+    # for channel-resident VMEM at 12+ channels).
+    if cfg.m_p61:
+        m61 = cfg.m_p61
+        lm61 = cfg.code_length * m61
+        kb61 = lm61 + 2 * CODE_PAD + 1
+        tk61 = _round_up(_round_up(kb61, BT) // BT, s2_group)
+        kp61 = tk61 * BT
+        inv61 = 1.0 / (cfg.step_base * m61)
+        inv61_int = int(np.floor(inv61))
+        inv61_frac = float(inv61 - inv61_int)
+        s61 = row_span(m61, inv61)
+    else:
+        m61 = lm61 = kb61 = tk61 = kp61 = inv61_int = 0
+        inv61_frac = 0.0
+        s61 = 0
+    rp = r + max(s_rows, s61)           # scratch rows (slice stays in range)
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
                 inv0_int=inv0_int,
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
-                T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps)
+                T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps,
+                m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
+                inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
 
 
 def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
@@ -116,10 +144,9 @@ def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
     Covers B2a (all modes) and B1C narrowband/data-only, real or complex
     IQ input, at any rate that fits the budget — the depth-2 window ring
     makes window VMEM independent of channel count, so full-rate B1C
-    10 ms epochs and 24-48 channel B2a both fit.  BOC(6,1) wideband
-    still falls back to the XLA bucket path."""
-    if cfg.m_p61:
-        return False
+    10 ms epochs and 24-48 channel B2a both fit.  B1C wideband QMBOC
+    (WB_tracking.m's 18-correlator mode) adds a depth-2 BOC(6,1)
+    weight ring, also channel-count independent."""
     geo = _geometry(cfg)
     # complex input rides the ring as two f32 planes
     win_b = 8 if cfg.complex_input else win_bytes
@@ -127,16 +154,18 @@ def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
     vmem = (geo["RP"] * 256 * 4                       # prefix scratch
             + 2 * geo["n_win"] * win_b                # window ring (depth 2)
             + n_channels * n_planes * geo["kp"] * 4   # dcode tables
+            + 2 * geo["kp61"] * 4                     # BOC(6,1) weight ring
             + 2 * n_channels * 8 * LANES * 4)         # output blocks
     return vmem <= VMEM_BUDGET
 
 
-def _boundary_tile_tables(cfg, geo) -> tuple[np.ndarray, np.ndarray]:
-    """Host-f64 split of (k_i * inv0_frac) at each boundary tile start:
-    g(k) = tb_frac[kt] + u*inv0_frac reproduces scan.py's k_f*inv0_frac
+def _boundary_tile_tables(tk: int, inv_frac: float) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Host-f64 split of (k_i * inv_frac) at each boundary tile start:
+    g(k) = tb_frac[kt] + u*inv_frac reproduces scan.py's k_f*inv_frac
     ramp with per-tile rebasing (k_i = kt*BT + u - CODE_PAD)."""
-    kt = np.arange(geo["TK"], dtype=np.float64)
-    val = (kt * BT - CODE_PAD) * geo["inv0_frac"]
+    kt = np.arange(max(tk, 1), dtype=np.float64)
+    val = (kt * BT - CODE_PAD) * inv_frac
     tb_int = np.floor(val).astype(np.int32)
     tb_frac = (val - np.floor(val)).astype(np.float32)
     return tb_int, tb_frac
@@ -194,12 +223,22 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     two_pi = np.float32(2.0 * np.pi)
     bisect = os.environ.get("FUSED_BISECT", "full")
     slots = _out_slots(cfg)
+    # B1C wideband QMBOC statics (WB_tracking.m:348-419)
+    WB = geo["m61"] > 0
+    TK61, S61 = geo["TK61"], geo["S61"]
+    m61 = geo["m61"]
+    inv61_int = geo["inv61_int"]
+    inv61_frac_f = np.float32(geo["inv61_frac"])
+    sbm61 = np.float32(cfg.step_base * max(m61, 1))
+    dllf = np.float32(cfg.dll_factor)
 
     R_WIN = geo["n_win"] // LANES
 
     def kernel(cursor0_s, adv_s, carr_s, abase_s, q0cyc_s, dstep0_s,
-               tbint_s, tbfrac_s, statef_s, cursorin_s, b2_ref, dcode_ref,
-               out_ref, curout_s, p_scr, stf, sti, win_scr, dma_sem):
+               tbint_s, tbfrac_s, tb61int_s, tb61frac_s, statef_s,
+               cursorin_s, b2_ref, dcode_ref, p61w_ref,
+               out_ref, curout_s, p_scr, stf, sti, win_scr, dma_sem,
+               p61_scr, dma61_sem):
         w = pl.program_id(0)
 
         # windows stream HBM->VMEM by explicit DMA on a per-(epoch,
@@ -241,6 +280,17 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 dma_sem.at[jax.lax.rem(n_, 2)],
             )
 
+        def p61_dma_n(n_):
+            # BOC(6,1) Abel weights for sequence n's channel: same depth-2
+            # ring protocol as the windows (per-channel ~0.5 MB f32; VMEM
+            # cost is channel-count independent)
+            c_ = jax.lax.rem(n_, C)
+            return pltpu.make_async_copy(
+                p61w_ref.at[c_],
+                p61_scr.at[jax.lax.rem(n_, 2)],
+                dma61_sem.at[jax.lax.rem(n_, 2)],
+            )
+
         # hoisted constants (shared across channels)
         lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
@@ -254,6 +304,9 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
         iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, NR * BT), 0)
         iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, NR * BT), 0)
         iota_o = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        if WB:
+            iota_s61 = jax.lax.broadcasted_iota(jnp.int32, (S61, 3 * BT), 0)
+            iota_l61 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 3 * BT), 0)
 
         @pl.when(w == 0)
         def _():
@@ -265,10 +318,16 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             win_dma_n(jnp.int32(0)).start()
             if N_SEQ > 1:
                 win_dma_n(jnp.int32(1)).start()
+            if WB:
+                p61_dma_n(jnp.int32(0)).start()
+                if N_SEQ > 1:
+                    p61_dma_n(jnp.int32(1)).start()
 
         def one_channel(c, _):
             n_seq = w * C + c
             win_dma_n(n_seq).wait()
+            if WB:
+                p61_dma_n(n_seq).wait()
             rem_code = stf[c, 0]
             rem_cyc = stf[c, 1]
             d_cyc = stf[c, 2]
@@ -521,6 +580,80 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     o[f"p11_i{tapn[t_i]}"] = acc[t_i * nper + 2]
                     o[f"p11_q{tapn[t_i]}"] = acc[t_i * nper + 3]
 
+            if WB:
+                # --- stage 2b: BOC(6,1) pilot boundary family -------------
+                # same prefix scratch, m=12 boundary grid, 3 E/P/L ramps;
+                # weights from this sequence's p61 ring buffer
+                # (WB_tracking.m:348-381's third correlator bank)
+                smm61 = sbm61 + d_step * m61
+                inv61 = 1.0 / smm61
+                dinv61 = inv61 - jnp.float32(inv61_int) - inv61_frac_f
+                ring61 = jax.lax.rem(n_seq, 2)
+
+                def stage2_61(kt, acc61):
+                    ki0 = kt * BT - CODE_PAD
+                    ki0_f = ki0.astype(jnp.float32)
+                    ki_f = ki0_f + u_f
+                    tbf = tb61frac_s[kt]
+                    tbi = tb61int_s[kt]
+                    jbase = ki0 * inv61_int + tbi + 1 + off
+
+                    j_parts, j0s = [], []
+                    for r_off in (-spc, 0.0, spc):
+                        base = rem_code + r_off
+                        bmi = (base * m61) * inv61
+                        g0 = tbf + ki0_f * dinv61 - bmi
+                        j0s.append(jbase + jnp.floor(g0).astype(jnp.int32))
+                        g = tbf + u_f * inv61_frac_f + ki_f * dinv61 - bmi
+                        j_parts.append(jbase + u_i * inv61_int
+                                       + jnp.floor(g).astype(jnp.int32))
+                    j0 = jnp.clip(jnp.minimum(j0s[0], j0s[-1]), 0, n_win)
+                    if ROW_ALIGN > 1:
+                        q0a = pl.multiple_of(
+                            ((j0 >> 7) // ROW_ALIGN) * ROW_ALIGN, ROW_ALIGN)
+                    else:
+                        q0a = j0 >> 7
+                    j3 = jnp.clip(jnp.concatenate(j_parts, axis=1), 0, n_win)
+                    row_rel = (j3 >> 7) - q0a                  # (1, 3*BT)
+                    lane = j3 & 127
+
+                    lane_oh = (iota_l61 == lane).astype(jnp.float32)
+                    sl = p_scr[pl.ds(q0a, S61), :]             # (S61, 256)
+                    tmp_i = jnp.dot(sl[:, 0:128], lane_oh,
+                                    preferred_element_type=jnp.float32)
+                    tmp_q = jnp.dot(sl[:, 128:256], lane_oh,
+                                    preferred_element_type=jnp.float32)
+                    row_m = (iota_s61 == row_rel).astype(jnp.float32)
+                    vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
+                    vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
+
+                    w61 = p61_scr[ring61, pl.ds(kt, 1), :]     # (1, BT)
+                    cont = []
+                    for d_idx in range(3):
+                        seg = slice(d_idx * BT, (d_idx + 1) * BT)
+                        cont += [jnp.sum(w61 * vi[:, seg]),
+                                 jnp.sum(w61 * vq[:, seg])]
+                    return tuple(a + cn for a, cn in zip(acc61, cont))
+
+                def stage2_61_group(g, acc61):
+                    for ui in range(S2G):
+                        acc61 = stage2_61(g * S2G + ui, acc61)
+                    return acc61
+
+                n_s61 = 0 if bisect in ("nostage2", "none") else TK61
+                acc61 = jax.lax.fori_loop(
+                    0, n_s61 // S2G, stage2_61_group,
+                    tuple(jnp.float32(0.0) for _ in range(6)), unroll=1)
+                for t_i in range(3):
+                    o[f"p61_i{tapn[t_i]}"] = acc61[t_i * 2 + 0]
+                    o[f"p61_q{tapn[t_i]}"] = acc61[t_i * 2 + 1]
+
+                # stage 2b was the last read of this sequence's p61 ring
+                # buffer; refill it with sequence n+2's weights
+                @pl.when(n_seq + 2 < N_SEQ)
+                def _():
+                    p61_dma_n(n_seq + 2).start()
+
             # --- discriminators (scan.py:211-249) -------------------------
             def eml(ie, qe, il, ql):
                 e = jnp.sqrt(ie * ie + qe * qe)
@@ -533,6 +666,22 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 code_d = code_d * (1.0 - spc)
             if not use_pilot:
                 carr_err, code_err = carr_d, code_d
+            elif WB:
+                # QMBOC composite pilot (scan.py:239-249,
+                # WB_tracking.m:374-396,414-419)
+                from bds3_tpu.track.scan import W11, W61
+
+                w11f, w61f = np.float32(W11), np.float32(W61)
+                for x in tapn:
+                    o[f"p_i{x}"] = (-w61f * o[f"p61_i{x}"]
+                                    + w11f * o[f"p11_q{x}"])
+                    o[f"p_q{x}"] = (-w61f * o[f"p61_q{x}"]
+                                    - w11f * o[f"p11_i{x}"])
+                carr_p = atan_poly(o["p_qp"] / o["p_ip"]) * inv2pi
+                code_p = eml(o["p_ie"], o["p_qe"],
+                             o["p_il"], o["p_ql"]) * (1.0 - spc)
+                carr_err = (carr_d + 3.0 * carr_p) / 4.0
+                code_err = code_d * dllf + code_p * (1.0 - dllf)
             else:
                 carr_p = atan_poly(-o["p11_ip"] / o["p11_qp"]) * inv2pi
                 code_p = eml(o["p11_ie"], o["p11_qe"],
@@ -598,13 +747,15 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
 
 def fused_track_block(cfg, block, data_tables, pilot11_tables,
-                      consts, state, interpret=None):
+                      consts, state, pilot61_tables=None, interpret=None):
     """Drop-in replacement for the scan path: returns
     (new ChannelState, outputs dict of (W, C) float32 arrays).
 
     block: (B,) int8/float32 real samples.
     data_tables/pilot11_tables: (C, lm + 2*CODE_PAD) circularly padded
     chips (track.driver.channel_code_tables layout).
+    pilot61_tables: (C, lm61 + 2*CODE_PAD) BOC(6,1) chips for B1C
+    wideband configs (ignored otherwise).
     """
     if interpret is None:
         # device platform, not default_backend(): backend *names* vary
@@ -618,20 +769,31 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
 
     C = data_tables.shape[0]
     W = cfg.epochs_per_block
-    tb_int, tb_frac = _boundary_tile_tables(cfg, geo)
+    tb_int, tb_frac = _boundary_tile_tables(geo["TK"], geo["inv0_frac"])
+    tb61_int, tb61_frac = _boundary_tile_tables(geo["TK61"],
+                                                geo["inv61_frac"])
 
     # Abel-summation weights: w_v = ext_{v-1} - ext_v over the padded
     # chip table (zeros outside), padded to TK*BT boundary slots.
-    def dcode_of(tab):
+    def dcode_of(tab, kb=None, kp=None):
+        kb = geo["kb"] if kb is None else kb
+        kp = geo["kp"] if kp is None else kp
         ext = tab.astype(jnp.float32)                     # (C, lm+2*PAD)
         z = jnp.zeros((C, 1), jnp.float32)
         wv = jnp.concatenate([z, ext], axis=1) \
             - jnp.concatenate([ext, z], axis=1)           # (C, kb)
-        return jnp.pad(wv, ((0, 0), (0, geo["kp"] - geo["kb"])))
+        return jnp.pad(wv, ((0, 0), (0, kp - kb)))
 
     wd = dcode_of(data_tables)
     wp = (dcode_of(pilot11_tables) if cfg.use_pilot
           else jnp.zeros((C, geo["kp"]), jnp.float32))
+    if geo["m61"]:
+        w61 = dcode_of(pilot61_tables, geo["kb61"], geo["kp61"]).reshape(
+            C, geo["TK61"], BT)
+    else:
+        # 1-tile dummies keep the kernel signature uniform; the non-WB
+        # kernel never touches them
+        w61 = jnp.zeros((C, 1, BT), jnp.float32)
     planes = [wd, wp]
     if geo["half_grid"]:
         # late-tap weights shifted one slot (w_shift[b] = w[b+1]); the
@@ -684,12 +846,15 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pl.BlockSpec(memory_space=pltpu.SMEM),        # init_dstep (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tb_int (TK,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tb_frac (TK,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tb61_int
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tb61_frac
             pl.BlockSpec(memory_space=pltpu.SMEM),        # statef (C, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # cursor (C,)
             pl.BlockSpec(memory_space=pltpu.HBM),         # raw block rows
             pl.BlockSpec((C, n_planes, geo["TK"], BT),
                          lambda wi: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # dcode
+            pl.BlockSpec(memory_space=pltpu.HBM),         # p61 weights
         ],
         out_specs=[
             pl.BlockSpec((1, C, 8, LANES),
@@ -709,6 +874,9 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
              if cfg.complex_input else
              pltpu.VMEM((2, r_win, LANES), b2.dtype)),    # window ring
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, max(geo["TK61"], 1), BT),
+                       jnp.float32),                      # p61 weight ring
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(cursor0, adv_int,
@@ -717,7 +885,8 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
       jnp.asarray(consts.q0_cyc, jnp.float32),
       jnp.asarray(consts.init_dstep, jnp.float32),
       jnp.asarray(tb_int), jnp.asarray(tb_frac),
-      statef, cursor0, b2, dcode)
+      jnp.asarray(tb61_int), jnp.asarray(tb61_frac),
+      statef, cursor0, b2, dcode, w61)
 
     rows = out4[:, :, 0, :]                               # (W, C, LANES)
     from bds3_tpu.track.scan import output_names

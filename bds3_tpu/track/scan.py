@@ -302,7 +302,8 @@ def track_block(
         from bds3_tpu.track.pallas_fused import fused_track_block
 
         return fused_track_block(cfg, block, data_tables, pilot11_tables,
-                                 consts, state)
+                                 consts, state,
+                                 pilot61_tables=pilot61_tables)
     W = cfg.epochs_per_block
     n_win = window_length(cfg)
     C = data_tables.shape[0]

@@ -271,11 +271,10 @@ def main():
                             track_mode=TrackMode.NARROWBAND)
         bench_tracking("tracking_b1c_12ch_nb", s1nb, sig1_dev, inits1,
                        n_epochs=200, epochs_per_block=200, passes=3)
-        # wideband QMBOC (18 correlators) — no fused path yet, measure
-        # the XLA bucket envelope
+        # wideband QMBOC (18 correlators incl. the BOC(6,1) bank) on the
+        # fused kernel's m=12 second boundary family
         bench_tracking("tracking_b1c_12ch_wb", s1, sig1_dev, inits1,
-                       n_epochs=100, epochs_per_block=50, passes=2,
-                       want="auto")
+                       n_epochs=100, epochs_per_block=100, passes=2)
         del sig1_dev
     except Exception as e:
         log(f"[bench] B1C tracking bench failed: {e!r}")

@@ -87,10 +87,15 @@ class TestFusedKernel:
         assert fused_supported(cfg_cplx, 12)    # complex rides f32 planes
         from bds3_tpu.config import TrackMode, b1c_settings
 
+        # B1C wideband QMBOC: the BOC(6,1) weight ring is channel-count
+        # independent, so WB fits at 30 Msps and at the full dataset rate
         s_wb = b1c_settings(sampling_freq=30e6, intermediate_freq=7.5e6,
                             track_mode=TrackMode.WIDEBAND)
         cfg_wb = make_track_config(s_wb)
-        assert not fused_supported(cfg_wb, 12)
+        assert fused_supported(cfg_wb, 12)
+        s_wb_full = b1c_settings(track_mode=TrackMode.WIDEBAND)
+        cfg_wb_full = make_track_config(s_wb_full)
+        assert fused_supported(cfg_wb_full, 12, win_bytes=1)
         # B1C narrowband fits at every dataset rate for int8 captures —
         # the depth-2 window ring keeps window VMEM independent of C
         s_nb = b1c_settings(track_mode=TrackMode.NARROWBAND)
@@ -151,6 +156,39 @@ class TestFusedKernel:
                                       res["fused"].absolute_sample)
         for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp",
                   "carr_err", "code_err"):
+            a = res["bucket"].outputs[k]
+            b = res["fused"].outputs[k]
+            scale = np.abs(a).mean() + 1.0
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                       err_msg=k)
+
+    def test_b1c_wideband_matches_bucket(self):
+        """B1C wideband QMBOC (18 correlators incl. the BOC(6,1) pilot
+        bank, composite-pilot discriminators, WB_tracking.m:348-419)
+        through the fused kernel vs the XLA bucket path.  30 Msps keeps
+        the BOC(6,1) subcarrier adequately sampled while interpret mode
+        stays tractable."""
+        from bds3_tpu.config import TrackMode, b1c_settings
+
+        s = b1c_settings(sampling_freq=30e6, intermediate_freq=7.5e6,
+                         track_mode=TrackMode.WIDEBAND)
+        sats = [
+            SatParams(prn=7, doppler_hz=430.0, code_phase_chips=212.0,
+                      amplitude=0.9),
+            SatParams(prn=30, doppler_hz=-2100.0, code_phase_chips=8000.0,
+                      amplitude=0.8),
+        ]
+        sig = synthesize_if(s, sats, n_ms=60.0, noise_std=1.0, seed=12)
+        inits = [_init_for(s, sat) for sat in sats]
+        res = {c: track(sig, s, inits, n_epochs=4, epochs_per_block=4,
+                        correlator=c) for c in ("bucket", "fused")}
+        np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                      res["fused"].outputs["blksize"])
+        np.testing.assert_array_equal(res["bucket"].absolute_sample,
+                                      res["fused"].absolute_sample)
+        for k in ("d_ip", "d_qp", "d_ie", "d_il", "p11_ip", "p11_qp",
+                  "p61_ip", "p61_qp", "p61_ie", "p61_il",
+                  "p_ip", "p_qp", "carr_err", "code_err"):
             a = res["bucket"].outputs[k]
             b = res["fused"].outputs[k]
             scale = np.abs(a).mean() + 1.0
