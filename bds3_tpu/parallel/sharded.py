@@ -103,3 +103,43 @@ def sharded_track_block(mesh: Mesh, cfg: TrackConfig, block,
     state = ChannelState(*(jax.device_put(x, shard) for x in state))
     return track_block(cfg, block, data_tables, pilot11_tables,
                        pilot61_tables, *ck, consts, state)
+
+
+def shard_map_track_block(mesh: Mesh, cfg: TrackConfig, block,
+                          data_tables, pilot11_tables, pilot61_tables,
+                          ck_data_int, ck_data_frac, ck_p61_int,
+                          ck_p61_frac, consts: ChannelConsts,
+                          state: ChannelState, axis: str = "channel"):
+    """Channel-sharded tracking via `shard_map`: each device runs the
+    full per-block kernel (including the fused Pallas correlator — a
+    custom call XLA's auto-partitioner cannot split, which is why the
+    production multi-chip path is manual) on its local channel slice.
+    No cross-device traffic inside the block; equivalent to
+    `sharded_track_block` for the XLA correlators."""
+    from bds3_tpu.track.scan import output_names
+
+    n_dev = mesh.shape[axis]
+    if data_tables.shape[0] % n_dev:
+        raise ValueError("channel count must divide the mesh axis")
+
+    def local(blk, dt, p11t, p61t, ci, cf, c2i, c2f, cns, st):
+        ns, outs = track_block(cfg, blk, dt, p11t, p61t, ci, cf, c2i, c2f,
+                               ChannelConsts(*cns), ChannelState(*st))
+        return tuple(ns), outs
+
+    ch = P(axis)
+    rep = P()
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, ch, ch, ch, rep, rep, rep, rep,
+                  tuple([ch] * len(consts)), tuple([ch] * len(state))),
+        out_specs=(tuple([ch] * len(state)),
+                   {k: P(None, axis) for k in output_names(cfg)}),
+        check_vma=False,
+    )
+    new_state, outs = jax.jit(fn)(
+        block, data_tables, pilot11_tables, pilot61_tables,
+        ck_data_int, ck_data_frac, ck_p61_int, ck_p61_frac,
+        tuple(jnp.asarray(x) for x in consts),
+        tuple(jnp.asarray(x) for x in state))
+    return ChannelState(*new_state), outs

@@ -80,8 +80,13 @@ def _geometry(cfg) -> dict:
     inv0_frac = float(inv0 - inv0_int)
     # window length: one SPLIT tile beyond the scan path's n_win, because
     # the in-kernel window DMA must start on the int8 HBM tile boundary
-    # (32 rows = 4096 samples), so `off` can reach 4095 + START_GUARD
-    n_win = cfg.n_win + SPLIT
+    # (32 rows = 4096 samples), so `off` can reach 4095 + START_GUARD.
+    # Stage 1 consumes S1R rows (S1R/32 SPLIT tiles) per loop step — a
+    # bigger step amortizes the per-step cond/loop overhead over a larger
+    # MXU matmul; pad n_win up to a whole number of steps (the pad tiles
+    # lie beyond off+blksize, so the active-tile guard skips them).
+    s1r = int(os.environ.get("FUSED_S1_ROWS", "64"))
+    n_win = _round_up(cfg.n_win + SPLIT, s1r * LANES)
     r = n_win // LANES                  # prefix rows; n_win % 4096 == 0
     # Half-grid mode: when the E/P/L spacing is exactly half a code-table
     # slot, the late tap's boundary samples coincide with the early tap's
@@ -131,9 +136,10 @@ def _geometry(cfg) -> dict:
         s61 = 0
     rp = r + max(s_rows, s61)           # scratch rows (slice stays in range)
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
-                inv0_int=inv0_int,
+                inv0_int=inv0_int, S1R=s1r,
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
-                T=n_win // SPLIT, half_grid=half_grid, n_ramps=n_ramps,
+                T=n_win // (s1r * LANES), half_grid=half_grid,
+                n_ramps=n_ramps,
                 m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
                 inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
 
@@ -234,6 +240,9 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
     R_WIN = geo["n_win"] // LANES
 
+    S1R = geo["S1R"]                 # stage-1 rows per loop step
+    STEP = S1R * LANES               # stage-1 samples per loop step
+
     def kernel(cursor0_s, adv_s, carr_s, abase_s, q0cyc_s, dstep0_s,
                tbint_s, tbfrac_s, tb61int_s, tb61frac_s, statef_s,
                cursorin_s, b2_ref, dcode_ref, p61w_ref,
@@ -292,13 +301,14 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             )
 
         # hoisted constants (shared across channels)
-        lin = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+        lin = (jax.lax.broadcasted_iota(jnp.int32, (S1R, LANES), 0) * LANES
+               + jax.lax.broadcasted_iota(jnp.int32, (S1R, LANES), 1))
         # strictly-upper triangular: x @ U = per-row exclusive lane prefix
         utri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.float32)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+        iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (S1R, 1), 0)
         u_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
         u_f = u_i.astype(jnp.float32)
         iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, NR * BT), 0)
@@ -378,35 +388,45 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 ci, cq = carry
 
                 def mix(masked):
-                    """Carrier mix of tile t; `masked` (static) selects
-                    the edge-tile path that zeroes samples outside
-                    [off, off+blksize) — interior tiles (all but ~2 per
-                    epoch) skip the iota/compare/multiply chain."""
+                    """Carrier mix of step t (S1R rows = S1R/32 SPLIT
+                    tiles); `masked` (static) selects the edge-step path
+                    that zeroes samples outside [off, off+blksize) —
+                    interior steps (all but ~2 per epoch) skip the
+                    iota/compare/multiply chain."""
                     ring = jax.lax.rem(w * C + c, 2)
-                    base_t = carr_s[c, t] + rem_eff \
-                        + (t * SPLIT).astype(jnp.float32) * d_cyc
-                    row_cyc = jnp.mod(
-                        base_t + iota_r.astype(jnp.float32) * step_row, 1.0)
-                    row_ang = two_pi * row_cyc                # (32, 1)
+                    # per-SPLIT-subtile row phase bases (the coarse carr_t
+                    # table is tabulated every 4096 samples; rebasing each
+                    # 32-row chunk keeps f32 phase error identical to the
+                    # single-tile kernel)
+                    rows = []
+                    for si in range(S1R // ROWS):
+                        tt = t * (S1R // ROWS) + si
+                        base_t = carr_s[c, tt] + rem_eff \
+                            + (tt * SPLIT).astype(jnp.float32) * d_cyc
+                        rows.append(jnp.mod(
+                            base_t + iota_r.astype(jnp.float32) * step_row,
+                            1.0))
+                    row_cyc = jnp.concatenate(rows, axis=0)   # (S1R, 1)
+                    row_ang = two_pi * row_cyc
                     cr = jnp.cos(row_ang)
                     sr = jnp.sin(row_ang)
-                    cos_f = cr * cl_t - sr * sl_t             # (32, 128)
+                    cos_f = cr * cl_t - sr * sl_t             # (S1R, 128)
                     sin_f = sr * cl_t + cr * sl_t
                     if masked:
-                        gidx = t * SPLIT + lin
+                        gidx = t * STEP + lin
                         mask = ((gidx >= off) & (gidx < off + blksize)
                                 ).astype(jnp.float32)
                     if cplx:
                         # (I + jQ) * e^{-j theta} (scan.py:145-148)
-                        xr = win_scr[ring, 0, pl.ds(t * ROWS, ROWS), :]
-                        xi = win_scr[ring, 1, pl.ds(t * ROWS, ROWS), :]
+                        xr = win_scr[ring, 0, pl.ds(t * S1R, S1R), :]
+                        xi = win_scr[ring, 1, pl.ds(t * S1R, S1R), :]
                         if masked:
                             xr = xr * mask
                             xi = xi * mask
                         ib = xr * cos_f + xi * sin_f
                         qb = xi * cos_f - xr * sin_f
                     else:
-                        x = win_scr[ring, pl.ds(t * ROWS, ROWS), :].astype(
+                        x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
                             jnp.float32)
                         if masked:
                             x = x * mask
@@ -416,22 +436,24 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
                 def prefix(cin, ib, qb):
                     ci2, cq2 = cin
-                    xiq = jnp.concatenate([ib, qb], axis=0)      # (64, 128)
+                    xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
                     lexc = jnp.dot(xiq, utri,
                                    preferred_element_type=jnp.float32)
-                    rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]  # (64,1)
+                    rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]
 
                     def rowexc(rt):
                         inc = rt
-                        for sft in (1, 2, 4, 8, 16):
+                        sft = 1
+                        while sft < S1R:
                             inc = inc + jnp.where(
-                                iota_r >= sft, pltpu.roll(inc, sft, 0), 0.0)
-                        return inc - rt, inc[ROWS - 1, 0]
+                                iota_r1 >= sft, pltpu.roll(inc, sft, 0), 0.0)
+                            sft *= 2
+                        return inc - rt, inc[S1R - 1, 0]
 
-                    ri, ti = rowexc(rtot[0:ROWS])
-                    rq, tq = rowexc(rtot[ROWS:])
-                    return (lexc[0:ROWS] + (ri + ci2),
-                            lexc[ROWS:] + (rq + cq2), ci2 + ti, cq2 + tq)
+                    ri, ti = rowexc(rtot[0:S1R])
+                    rq, tq = rowexc(rtot[S1R:])
+                    return (lexc[0:S1R] + (ri + ci2),
+                            lexc[S1R:] + (rq + cq2), ci2 + ti, cq2 + tq)
 
                 def interior(cin):
                     return prefix(cin, *mix(False))
@@ -440,18 +462,18 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     return prefix(cin, *mix(True))
 
                 def skip(cin):
-                    return (jnp.full((ROWS, LANES), cin[0]),
-                            jnp.full((ROWS, LANES), cin[1]), cin[0], cin[1])
+                    return (jnp.full((S1R, LANES), cin[0]),
+                            jnp.full((S1R, LANES), cin[1]), cin[0], cin[1])
 
-                t0s = t * SPLIT
-                active = (t0s + SPLIT > off) & (t0s < off + blksize)
-                inside = (t0s >= off) & (t0s + SPLIT <= off + blksize)
+                t0s = t * STEP
+                active = (t0s + STEP > off) & (t0s < off + blksize)
+                inside = (t0s >= off) & (t0s + STEP <= off + blksize)
                 tile_i, tile_q, ci_n, cq_n = jax.lax.cond(
                     active,
                     lambda cin: jax.lax.cond(inside, interior, edge, cin),
                     skip, (ci, cq))
-                p_scr[pl.ds(t * ROWS, ROWS), 0:128] = tile_i
-                p_scr[pl.ds(t * ROWS, ROWS), 128:256] = tile_q
+                p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
+                p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
                 return ci_n, cq_n
 
             # measured: stage1 full unroll does not change runtime but
