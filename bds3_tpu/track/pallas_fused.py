@@ -124,7 +124,14 @@ def _geometry(cfg) -> dict:
         m61 = cfg.m_p61
         lm61 = cfg.code_length * m61
         kb61 = lm61 + 2 * CODE_PAD + 1
-        tk61 = _round_up(_round_up(kb61, BT) // BT, s2_group)
+        # the weight ring is DMA'd from HBM, so the tile-count dim must
+        # be 8-aligned (Mosaic (8,128) tiling of memref slices); the
+        # group size then has to divide it exactly (the group fori_loop
+        # has no remainder pass), so pick the largest divisor <= the
+        # data-path group
+        tk61 = _round_up(_round_up(kb61, BT) // BT, 8)
+        s2g61 = next(d for d in range(min(s2_group, tk61), 0, -1)
+                     if tk61 % d == 0)
         kp61 = tk61 * BT
         inv61 = 1.0 / (cfg.step_base * m61)
         inv61_int = int(np.floor(inv61))
@@ -134,6 +141,7 @@ def _geometry(cfg) -> dict:
         m61 = lm61 = kb61 = tk61 = kp61 = inv61_int = 0
         inv61_frac = 0.0
         s61 = 0
+        s2g61 = 1
     rp = r + max(s_rows, s61)           # scratch rows (slice stays in range)
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
                 inv0_int=inv0_int, S1R=s1r,
@@ -141,6 +149,7 @@ def _geometry(cfg) -> dict:
                 T=n_win // (s1r * LANES), half_grid=half_grid,
                 n_ramps=n_ramps,
                 m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
+                S2G61=s2g61,
                 inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
 
 
@@ -232,6 +241,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     # B1C wideband QMBOC statics (WB_tracking.m:348-419)
     WB = geo["m61"] > 0
     TK61, S61 = geo["TK61"], geo["S61"]
+    S2G61 = geo["S2G61"]
     m61 = geo["m61"]
     inv61_int = geo["inv61_int"]
     inv61_frac_f = np.float32(geo["inv61_frac"])
@@ -658,13 +668,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     return tuple(a + cn for a, cn in zip(acc61, cont))
 
                 def stage2_61_group(g, acc61):
-                    for ui in range(S2G):
-                        acc61 = stage2_61(g * S2G + ui, acc61)
+                    for ui in range(S2G61):
+                        acc61 = stage2_61(g * S2G61 + ui, acc61)
                     return acc61
 
                 n_s61 = 0 if bisect in ("nostage2", "none") else TK61
                 acc61 = jax.lax.fori_loop(
-                    0, n_s61 // S2G, stage2_61_group,
+                    0, n_s61 // S2G61, stage2_61_group,
                     tuple(jnp.float32(0.0) for _ in range(6)), unroll=1)
                 for t_i in range(3):
                     o[f"p61_i{tapn[t_i]}"] = acc61[t_i * 2 + 0]
