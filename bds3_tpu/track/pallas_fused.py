@@ -86,6 +86,9 @@ def _geometry(cfg) -> dict:
     # MXU matmul; pad n_win up to a whole number of steps (the pad tiles
     # lie beyond off+blksize, so the active-tile guard skips them).
     s1r = int(os.environ.get("FUSED_S1_ROWS", "64"))
+    if s1r < ROWS or s1r % ROWS != 0:
+        raise ValueError(
+            f"FUSED_S1_ROWS must be a positive multiple of {ROWS}, got {s1r}")
     n_win = _round_up(cfg.n_win + SPLIT, s1r * LANES)
     r = n_win // LANES                  # prefix rows; n_win % 4096 == 0
     # Half-grid mode: when the E/P/L spacing is exactly half a code-table
@@ -866,6 +869,16 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
 
     kernel = _make_kernel(cfg, geo, C, nrows_b2)
 
+    # geo['n_win'] can exceed cfg.n_win (rounded up to whole S1R steps);
+    # the kernel reads carr_s[c, tt] for tt < n_win/SPLIT, so pad the
+    # coarse phase table with edge values (pad sub-tiles are fully
+    # masked, any finite value is correct)
+    carr_t = jnp.asarray(consts.carr_t, jnp.float32)
+    k_need = geo["n_win"] // SPLIT
+    if carr_t.shape[1] < k_need:
+        carr_t = jnp.pad(carr_t, ((0, 0), (0, k_need - carr_t.shape[1])),
+                         mode="edge")
+
     out4, cur_out = pl.pallas_call(
         kernel,
         grid=(W,),
@@ -912,7 +925,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
         ],
         interpret=interpret,
     )(cursor0, adv_int,
-      jnp.asarray(consts.carr_t, jnp.float32),
+      carr_t,
       jnp.asarray(consts.a_base, jnp.float32),
       jnp.asarray(consts.q0_cyc, jnp.float32),
       jnp.asarray(consts.init_dstep, jnp.float32),
