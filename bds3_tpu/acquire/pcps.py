@@ -148,7 +148,15 @@ def acq_code_tables(s: Settings, prns: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def full_code_tables(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
-    """(P, samples_per_code) int8 full-period ceil-sampled tables."""
+    """(P, samples_per_code) int8 full-period ceil-sampled tables.
+
+    Cached: Settings is frozen/hashable and re-sampling 63 PRNs at the
+    reference rate costs seconds of host time per acquire() call."""
+    return _full_code_tables_cached(s, tuple(int(p) for p in prns))
+
+
+@functools.lru_cache(maxsize=8)
+def _full_code_tables_cached(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
     if s.signal == Signal.B2A:
         data = b2a_codes_matrix(pilot=False)
         pilot = b2a_codes_matrix(pilot=True)
@@ -181,6 +189,11 @@ def fine_code_tables(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
     B2a: floor-sampled codes tiled over fine_noncoh periods
     (B2a acquisition.m:279-284).
     """
+    return _fine_code_tables_cached(s, tuple(int(p) for p in prns))
+
+
+@functools.lru_cache(maxsize=8)
+def _fine_code_tables_cached(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
     cfg = make_acq_config(s)
     if s.signal == Signal.B1C:
         return full_code_tables(s, prns)
@@ -196,6 +209,17 @@ def fine_code_tables(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]:
         for p in prns
     ])
     return d.astype(np.int8), q.astype(np.int8)
+
+
+@functools.lru_cache(maxsize=8)
+def _device_acq_tables(s: Settings, prns):
+    """Device-resident (d8, p8, fd, fp) — re-uploading ~190 MB of code
+    tables per acquire() call dominated the warm wall on the remote
+    TPU link."""
+    d8, p8 = acq_code_tables(s, np.asarray(prns))
+    fd, fp = fine_code_tables(s, np.asarray(prns))
+    return (jnp.asarray(d8), jnp.asarray(p8),
+            jnp.asarray(fd), jnp.asarray(fp))
 
 
 def glrt_noise_power(window) -> float:
@@ -337,11 +361,21 @@ def fine_search(
     fine_data: jnp.ndarray,      # (P, n_win) int8 local data code
     fine_pilot: jnp.ndarray,     # (P, n_win) int8 local pilot code
     code_phase: jnp.ndarray,     # (P,) int32, 0-based
-    a_fine: jnp.ndarray,         # (P, F) float32 phase tables of fine freqs
-    c1_fine: jnp.ndarray,        # (P, F)
+    a_coarse: jnp.ndarray,       # (P,) phase tables of per-PRN coarse freq
+    c1_coarse: jnp.ndarray,      # (P,)
+    a_off: jnp.ndarray,          # (F,) phase tables of the shared offsets
+    c1_off: jnp.ndarray,         # (F,)
     cfg: AcqConfig,
 ) -> jnp.ndarray:
-    """Fine carrier search; returns (P, F) scores (argmax done on host)."""
+    """Fine carrier search; returns (P, F) scores (argmax done on host).
+
+    The fine frequency f[p, f] = coarse[p] + offset[f], so the carrier
+    factorizes: e^{-j2pi f s} = e^{-j2pi coarse_p s} * e^{-j2pi off_f s}.
+    Mixing the code-wiped windows by the per-PRN coarse carrier and
+    contracting against ONE shared (F, seg) offset matrix replaces the
+    (P, F, seg) carrier cube of the naive form (~0.9 GB HBM traffic at
+    the B2a reference rate — it made fine search slower than the whole
+    coarse cube search)."""
     spc = cfg.samples_per_code
     n_win = cfg.fine_noncoh * spc
     sig = _as_device_signal(signal)
@@ -358,13 +392,14 @@ def fine_search(
     else:
         seg = spc
     k_rounds = n_win // seg
-    x_d = (windows * fine_data.astype(windows.dtype)).reshape(-1, k_rounds, seg)
-    x_p = (windows * fine_pilot.astype(windows.dtype)).reshape(-1, k_rounds, seg)
-
-    carr = carrier_table(a_fine, c1_fine, seg)   # (P, F, seg) c64
+    carr_c = carrier_table(a_coarse, c1_coarse, n_win)   # (P, n_win) c64
+    offs = carrier_table(a_off, c1_off, seg)             # (F, seg) c64
+    wm = windows.astype(carr_c.dtype) * carr_c
+    x_d = (wm * fine_data.astype(jnp.float32)).reshape(-1, k_rounds, seg)
+    x_p = (wm * fine_pilot.astype(jnp.float32)).reshape(-1, k_rounds, seg)
 
     def score(x):
-        c = jnp.einsum("pks,pfs->pfk", x.astype(carr.dtype), carr)
+        c = jnp.einsum("pks,fs->pfk", x, offs)
         return jnp.sum(jnp.abs(c), axis=-1)       # (P, F)
 
     if cfg.combine_weighted:
@@ -402,7 +437,8 @@ def acquire(
         return recover_results(acq, plan)
 
     cfg = make_acq_config(s)
-    d8, p8 = acq_code_tables(s, prns)
+    d8, p8, fd_dev, fp_dev = _device_acq_tables(
+        s, tuple(int(p) for p in prns))
     sig = jnp.asarray(signal)
 
     n_bc = -(-cfg.n_bins // cfg.bin_chunk)
@@ -428,13 +464,14 @@ def acquire(
         sig_power = glrt_noise_power(signal[: cfg.n_coh])
         metric = best_v / sig_power
 
-    fd, fp = fine_code_tables(s, prns)
     offsets = cfg.fine_span_low + cfg.fine_step * np.arange(cfg.fine_bins)
     fine_freqs = coarse_freq[:, None] + offsets[None, :]  # (P, F) float64
-    a_f, c1_f = phase_tables(fine_freqs, cfg.fs)
+    a_c, c1_c = phase_tables(coarse_freq, cfg.fs)
+    a_o, c1_o = phase_tables(offsets, cfg.fs)
     scores = np.asarray(fine_search(
-        sig, fd, fp, jnp.asarray(best_p), jnp.asarray(a_f),
-        jnp.asarray(c1_f), cfg,
+        sig, fd_dev, fp_dev, jnp.asarray(best_p),
+        jnp.asarray(a_c), jnp.asarray(c1_c),
+        jnp.asarray(a_o), jnp.asarray(c1_o), cfg,
     ))
     best_fine = np.argmax(scores, axis=-1)
     carr = fine_freqs[np.arange(len(prns)), best_fine]

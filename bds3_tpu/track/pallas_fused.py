@@ -85,10 +85,22 @@ def _geometry(cfg) -> dict:
     # bigger step amortizes the per-step cond/loop overhead over a larger
     # MXU matmul; pad n_win up to a whole number of steps (the pad tiles
     # lie beyond off+blksize, so the active-tile guard skips them).
-    s1r = int(os.environ.get("FUSED_S1_ROWS", "64"))
-    if s1r < ROWS or s1r % ROWS != 0:
-        raise ValueError(
-            f"FUSED_S1_ROWS must be a positive multiple of {ROWS}, got {s1r}")
+    s1r_env = os.environ.get("FUSED_S1_ROWS")
+    if s1r_env:
+        s1r = int(s1r_env)
+        if s1r < ROWS or s1r % ROWS != 0:
+            raise ValueError(
+                f"FUSED_S1_ROWS must be a positive multiple of {ROWS}, "
+                f"got {s1r}")
+    else:
+        # biggest step whose tail padding stays under ~25% of the window
+        # (big steps amortize per-step overhead; padding is dead compute)
+        base = cfg.n_win + SPLIT
+        s1r = ROWS
+        for cand in (256, 128, 64, 32):
+            if _round_up(base, cand * LANES) <= base * 1.25:
+                s1r = cand
+                break
     n_win = _round_up(cfg.n_win + SPLIT, s1r * LANES)
     r = n_win // LANES                  # prefix rows; n_win % 4096 == 0
     # Half-grid mode: when the E/P/L spacing is exactly half a code-table
@@ -240,6 +252,21 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     cplx = cfg.complex_input
     two_pi = np.float32(2.0 * np.pi)
     bisect = os.environ.get("FUSED_BISECT", "full")
+    # "bf16x2": run the big select/prefix matmuls as two bf16 passes
+    # (hi + residual) instead of one fp32 pass — ~2^-17 relative error
+    # on the correlators (orders below both the 5e-2 test tolerance and
+    # thermal noise), substantially faster on the bf16-native MXU
+    prec = os.environ.get("FUSED_PREC", "f32")
+
+    def dot_fast(a, b):
+        if prec == "bf16x2":
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            bb = b.astype(jnp.bfloat16)
+            return (jnp.dot(hi, bb, preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, bb, preferred_element_type=jnp.float32))
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
     slots = _out_slots(cfg)
     # B1C wideband QMBOC statics (WB_tracking.m:348-419)
     WB = geo["m61"] > 0
@@ -321,7 +348,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.float32)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
-        iota_r1 = jax.lax.broadcasted_iota(jnp.int32, (S1R, 1), 0)
+        # prefix() constants: ones column-block for row totals, block
+        # strict-lower-triangular (per I/Q half) for exclusive row offsets
+        ones8 = jnp.ones((LANES, 8), jnp.float32)
+        rr2 = jax.lax.broadcasted_iota(jnp.int32, (2 * S1R, 2 * S1R), 0)
+        cc2 = jax.lax.broadcasted_iota(jnp.int32, (2 * S1R, 2 * S1R), 1)
+        trib = (((rr2 // S1R) == (cc2 // S1R)) & (cc2 < rr2)
+                ).astype(jnp.float32)
         u_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
         u_f = u_i.astype(jnp.float32)
         iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, NR * BT), 0)
@@ -415,7 +448,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     for si in range(S1R // ROWS):
                         tt = t * (S1R // ROWS) + si
                         base_t = carr_s[c, tt] + rem_eff \
-                            + (tt * SPLIT).astype(jnp.float32) * d_cyc
+                            + (np.float32(tt * SPLIT) if isinstance(tt, int)
+                               else (tt * SPLIT).astype(jnp.float32)) * d_cyc
                         rows.append(jnp.mod(
                             base_t + iota_r.astype(jnp.float32) * step_row,
                             1.0))
@@ -448,58 +482,90 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     return ib, qb
 
                 def prefix(cin, ib, qb):
+                    # Everything stays on the MXU/VPU wide paths: the row
+                    # totals come from a ones-column matmul (a narrow
+                    # `lexc[:, 127:]` lane slice lowered to slow lane
+                    # shuffles) and the exclusive row-offset prefix from a
+                    # block strict-lower-triangular matmul (the previous
+                    # (S1R,1) sublane log-roll pass cost ~1 us/step).
+                    # Carries are lane-replicated (1, 128) rows — a traced
+                    # scalar carry forces a vector->scalar sync per step.
                     ci2, cq2 = cin
                     xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
-                    lexc = jnp.dot(xiq, utri,
-                                   preferred_element_type=jnp.float32)
-                    rtot = lexc[:, LANES - 1:] + xiq[:, LANES - 1:]
+                    lexc = dot_fast(xiq, utri)
+                    rtot8 = jnp.dot(xiq, ones8,
+                                    preferred_element_type=jnp.float32)
+                    rofs8 = jnp.dot(trib, rtot8,
+                                    preferred_element_type=jnp.float32)
+                    incl8 = rofs8 + rtot8                     # (2*S1R, 8)
+                    zl = jnp.zeros((1, LANES), jnp.float32)
+                    ti = incl8[S1R - 1:S1R, 0:1] + zl         # (1, 128)
+                    tq = incl8[2 * S1R - 1:2 * S1R, 0:1] + zl
+                    return (lexc[0:S1R] + (rofs8[0:S1R, 0:1] + ci2),
+                            lexc[S1R:] + (rofs8[S1R:, 0:1] + cq2),
+                            ci2 + ti, cq2 + tq)
 
-                    def rowexc(rt):
-                        inc = rt
-                        sft = 1
-                        while sft < S1R:
-                            inc = inc + jnp.where(
-                                iota_r1 >= sft, pltpu.roll(inc, sft, 0), 0.0)
-                            sft *= 2
-                        return inc - rt, inc[S1R - 1, 0]
-
-                    ri, ti = rowexc(rtot[0:S1R])
-                    rq, tq = rowexc(rtot[S1R:])
-                    return (lexc[0:S1R] + (ri + ci2),
-                            lexc[S1R:] + (rq + cq2), ci2 + ti, cq2 + tq)
-
-                def interior(cin):
-                    return prefix(cin, *mix(False))
-
-                def edge(cin):
-                    return prefix(cin, *mix(True))
-
-                def skip(cin):
-                    return (jnp.full((S1R, LANES), cin[0]),
-                            jnp.full((S1R, LANES), cin[1]), cin[0], cin[1])
-
-                t0s = t * STEP
-                active = (t0s + STEP > off) & (t0s < off + blksize)
-                inside = (t0s >= off) & (t0s + STEP <= off + blksize)
-                tile_i, tile_q, ci_n, cq_n = jax.lax.cond(
-                    active,
-                    lambda cin: jax.lax.cond(inside, interior, edge, cin),
-                    skip, (ci, cq))
-                p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
-                p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
+                # no per-step cond: the validity mask already zeroes
+                # samples outside [off, off+blksize), so fully-outside
+                # tiles contribute exactly the running carry — the old
+                # active/inside/skip cond tree cost more in branch
+                # overhead than the masked-mix work it saved.  When t is
+                # a python int (unrolled loop), tiles provably inside
+                # [off_max, off_min + blksize_min) skip the mask build
+                # entirely (the b2 tail is zero-padded, so even the
+                # clamped out-of-data regime stays finite).
+                if isinstance(t, int):
+                    need_mask = not (t * STEP >= SPLIT + START_GUARD + 1
+                                     and (t + 1) * STEP
+                                     <= START_GUARD + cfg.q0_int - 8)
+                else:
+                    need_mask = True
+                cin = (ci, cq)
+                if bisect in ("s1loadonly", "s1nomix"):
+                    ring = jax.lax.rem(w * C + c, 2)
+                    if cplx:
+                        x = win_scr[ring, 0, pl.ds(t * S1R, S1R), :]
+                    else:
+                        x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
+                            jnp.float32)
+                    if bisect == "s1loadonly":
+                        tile_i, tile_q, ci_n, cq_n = \
+                            x, x, cin[0] + x[0:1, :], cin[1]
+                    else:
+                        tile_i, tile_q, ci_n, cq_n = prefix(cin, x, x)
+                elif bisect == "s1noprefix":       # mix, skip prefix matmul
+                    ib, qb = mix(need_mask)
+                    tile_i, tile_q, ci_n, cq_n = \
+                        ib, qb, cin[0] + ib[0:1, :], cin[1] + qb[0:1, :]
+                else:
+                    tile_i, tile_q, ci_n, cq_n = prefix(cin, *mix(need_mask))
+                if bisect != "s1nostore":
+                    p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
+                    p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
                 return ci_n, cq_n
 
             # measured: stage1 full unroll does not change runtime but
             # multiplies compile time (benchmarks/unroll_sweep.py)
             t1 = 1 if bisect in ("nostage1", "none") else T
-            u1 = int(os.environ.get("FUSED_UNROLL_S1", "1"))
-            tot_i, tot_q = jax.lax.fori_loop(
-                0, t1, stage1, (jnp.float32(0.0), jnp.float32(0.0)),
-                unroll=t1 if u1 == 0 else min(u1, t1))
+            # default: full python unroll for small T (static store
+            # offsets + static interior-tile masking), rolled loop for
+            # long B1C windows where unroll would blow up compile time
+            u1 = int(os.environ.get("FUSED_UNROLL_S1", "0" if T <= 8 else "1"))
+            zc = jnp.zeros((1, LANES), jnp.float32)
+            if u1 == 0 or u1 >= t1:
+                carry = (zc, zc)
+                for t_py in range(t1):
+                    carry = stage1(t_py, carry)
+                tot_i, tot_q = carry
+            else:
+                tot_i, tot_q = jax.lax.fori_loop(
+                    0, t1, stage1, (zc, zc), unroll=min(u1, t1))
             # P[n_win] lives at (row R, lane 0); rows >= R must be finite
             # (0-weight x NaN would poison the row-select matmul)
-            p_scr[pl.ds(R, RP - R), 0:128] = jnp.full((RP - R, 128), tot_i)
-            p_scr[pl.ds(R, RP - R), 128:256] = jnp.full((RP - R, 128), tot_q)
+            p_scr[pl.ds(R, RP - R), 0:128] = jnp.broadcast_to(
+                tot_i, (RP - R, 128))
+            p_scr[pl.ds(R, RP - R), 128:256] = jnp.broadcast_to(
+                tot_q, (RP - R, 128))
 
             # stage 1 was this sequence's last read of its window buffer;
             # start refilling it with sequence n+2's window (the VPU loads
@@ -554,10 +620,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 # mask-reduce on the VPU.
                 lane_oh = (iota_l3 == lane).astype(jnp.float32)  # (128, NR*BT)
                 sl = p_scr[pl.ds(q0a, S), :]                     # (S, 256)
-                tmp_i = jnp.dot(sl[:, 0:128], lane_oh,
-                                preferred_element_type=jnp.float32)
-                tmp_q = jnp.dot(sl[:, 128:256], lane_oh,
-                                preferred_element_type=jnp.float32)
+                tmp_i = dot_fast(sl[:, 0:128], lane_oh)
+                tmp_q = dot_fast(sl[:, 128:256], lane_oh)
                 row_m = (iota_s3 == row_rel).astype(jnp.float32)  # (S, NR*BT)
                 vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                 vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
@@ -572,29 +636,32 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     wds = dcode_ref[c, 2, pl.ds(kt, 1), :]  # w shifted by 1
                     if use_pilot:
                         wps = dcode_ref[c, 3, pl.ds(kt, 1), :]
-                    # tap-major (E, P, L) to match the unpack below
+                    # tap-major (E, P, L) to match the unpack below.
+                    # contributions accumulate as (1, BT) vectors — the
+                    # lane reduction to a scalar happens ONCE per channel
+                    # after the tile loop (a per-tile jnp.sum forced a
+                    # vector->scalar sync every iteration)
                     tap_w = [(wd, er), (wd, pr), (wds, er)]
                     tap_wp = ([(wp, er), (wp, pr), (wps, er)]
                               if use_pilot else [None] * 3)
                     for (w_t, seg), pw in zip(tap_w, tap_wp):
-                        cont += [jnp.sum(w_t * vi[:, seg]),
-                                 jnp.sum(w_t * vq[:, seg])]
+                        cont += [w_t * vi[:, seg], w_t * vq[:, seg]]
                         if use_pilot:
-                            cont += [jnp.sum(pw[0] * vi[:, seg]),
-                                     jnp.sum(pw[0] * vq[:, seg])]
+                            cont += [pw[0] * vi[:, seg],
+                                     pw[0] * vq[:, seg]]
                 else:
                     for d_idx in range(3):
                         seg = slice(d_idx * BT, (d_idx + 1) * BT)
-                        cont += [jnp.sum(wd * vi[:, seg]),
-                                 jnp.sum(wd * vq[:, seg])]
+                        cont += [wd * vi[:, seg], wd * vq[:, seg]]
                         if use_pilot:
-                            cont += [jnp.sum(wp * vi[:, seg]),
-                                     jnp.sum(wp * vq[:, seg])]
+                            cont += [wp * vi[:, seg], wp * vq[:, seg]]
                 return tuple(a + cn for a, cn in zip(acc, cont))
 
             nper = 4 if use_pilot else 2
-            acc0 = tuple(jnp.float32(0.0) for _ in range(3 * nper))
-            n_s2 = 0 if bisect in ("nostage2", "none") else TK
+            zv = jnp.zeros((1, BT), jnp.float32)
+            acc0 = tuple(zv for _ in range(3 * nper))
+            skip_s2 = bisect in ("nostage2", "none") or bisect.startswith("s1")
+            n_s2 = 0 if skip_s2 else TK
 
             def stage2_group(g, acc):
                 for ui in range(S2G):
@@ -603,17 +670,19 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
             acc = jax.lax.fori_loop(0, n_s2 // S2G, stage2_group, acc0,
                                     unroll=1)
-            if bisect in ("nostage2", "none"):
-                acc = tuple(a + tot_i for a in acc)
-            # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)]
+            if skip_s2:
+                acc = tuple(a + tot_i[:, 0:1] for a in acc)
+            # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)];
+            # the (1, BT) vector accumulators reduce to scalars here —
+            # the only vector->scalar sync of the whole channel
             o = {}
             tapn = ("e", "p", "l")
             for t_i in range(3):
-                o[f"d_i{tapn[t_i]}"] = acc[t_i * nper + 0]
-                o[f"d_q{tapn[t_i]}"] = acc[t_i * nper + 1]
+                o[f"d_i{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 0])
+                o[f"d_q{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 1])
                 if use_pilot:
-                    o[f"p11_i{tapn[t_i]}"] = acc[t_i * nper + 2]
-                    o[f"p11_q{tapn[t_i]}"] = acc[t_i * nper + 3]
+                    o[f"p11_i{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 2])
+                    o[f"p11_q{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 3])
 
             if WB:
                 # --- stage 2b: BOC(6,1) pilot boundary family -------------
@@ -654,10 +723,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
                     lane_oh = (iota_l61 == lane).astype(jnp.float32)
                     sl = p_scr[pl.ds(q0a, S61), :]             # (S61, 256)
-                    tmp_i = jnp.dot(sl[:, 0:128], lane_oh,
-                                    preferred_element_type=jnp.float32)
-                    tmp_q = jnp.dot(sl[:, 128:256], lane_oh,
-                                    preferred_element_type=jnp.float32)
+                    tmp_i = dot_fast(sl[:, 0:128], lane_oh)
+                    tmp_q = dot_fast(sl[:, 128:256], lane_oh)
                     row_m = (iota_s61 == row_rel).astype(jnp.float32)
                     vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                     vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
@@ -666,8 +733,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     cont = []
                     for d_idx in range(3):
                         seg = slice(d_idx * BT, (d_idx + 1) * BT)
-                        cont += [jnp.sum(w61 * vi[:, seg]),
-                                 jnp.sum(w61 * vq[:, seg])]
+                        cont += [w61 * vi[:, seg], w61 * vq[:, seg]]
                     return tuple(a + cn for a, cn in zip(acc61, cont))
 
                 def stage2_61_group(g, acc61):
@@ -675,13 +741,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                         acc61 = stage2_61(g * S2G61 + ui, acc61)
                     return acc61
 
-                n_s61 = 0 if bisect in ("nostage2", "none") else TK61
+                n_s61 = 0 if skip_s2 else TK61
                 acc61 = jax.lax.fori_loop(
                     0, n_s61 // S2G61, stage2_61_group,
-                    tuple(jnp.float32(0.0) for _ in range(6)), unroll=1)
+                    tuple(zv for _ in range(6)), unroll=1)
                 for t_i in range(3):
-                    o[f"p61_i{tapn[t_i]}"] = acc61[t_i * 2 + 0]
-                    o[f"p61_q{tapn[t_i]}"] = acc61[t_i * 2 + 1]
+                    o[f"p61_i{tapn[t_i]}"] = jnp.sum(acc61[t_i * 2 + 0])
+                    o[f"p61_q{tapn[t_i]}"] = jnp.sum(acc61[t_i * 2 + 1])
 
                 # stage 2b was the last read of this sequence's p61 ring
                 # buffer; refill it with sequence n+2's weights
