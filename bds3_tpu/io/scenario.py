@@ -175,8 +175,14 @@ def _nav_symbol_lookup(sc: Scenario, eph: Ephemeris):
 
 def synthesize_scenario(sc: Scenario, n_ms: float | None = None,
                         noise_std: float = 2.0, amplitude: float = 0.65,
-                        seed: int = 0, chunk: int = 1 << 21) -> np.ndarray:
-    """Render the IF capture (int8 real samples)."""
+                        seed: int = 0, chunk: int = 1 << 21,
+                        pilot_secondary: bool = True) -> np.ndarray:
+    """Render the IF capture (int8 real samples).
+
+    pilot_secondary: modulate the B2a pilot with its 100-chip secondary
+    overlay (on by default — the on-air signal has it; see the note at
+    the component setup).  B1C pilots always carry their 1800-chip
+    secondary code."""
     s = sc.settings
     if n_ms is None:
         n_ms = s.ms_to_process
@@ -195,9 +201,23 @@ def synthesize_scenario(sc: Scenario, n_ms: float | None = None,
         if s.signal == Signal.B2A:
             comps = [
                 (b2a_data_code(eph.prn), 1, True, 0.0, amplitude),
-                (b2a_pilot_code(eph.prn), 1, False, math.pi / 2, amplitude),
+                (b2a_pilot_code(eph.prn), 1,
+                 "sec" if pilot_secondary else False, math.pi / 2,
+                 amplitude),
             ]
-            sec_pilot = None
+            # B2a pilot 100-chip secondary overlay (1 chip per 1 ms code
+            # period, B2a ICD section 5.2.3).  The published per-PRN
+            # Weil-100 tables are not bundled; a PRN-seeded +-1 sequence
+            # exercises the identical receiver-side property — every
+            # discriminator the tracking loops use (atan(-I/Q), E-L
+            # power, VSM C/N0) is invariant to per-epoch pilot sign
+            # flips, which tests/test_e2e_pvt.py proves end to end.
+            if pilot_secondary:
+                rng_sec = np.random.default_rng(1000 + eph.prn)
+                sec_pilot = np.where(
+                    rng_sec.random(100) < 0.5, -1.0, 1.0)
+            else:
+                sec_pilot = None
         else:
             sec_pilot = b1c_secondary_code(eph.prn)
             comps = [

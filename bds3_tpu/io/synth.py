@@ -108,17 +108,24 @@ def synthesize_if(
     seed: int = 0,
     quantize: bool = True,
     chunk: int = 1 << 21,
+    start_sample: int = 0,
 ) -> np.ndarray:
     """Synthesize an IF capture.  Returns int8 (quantize=True) or float32.
 
     REAL8: shape (N,).  IQ8: shape (N, 2) interleaved I/Q.
+
+    start_sample: absolute sample index of the first output sample —
+    phase-continuous segmented generation (a 49 s capture rendered in
+    500 ms file-append chunks is bit-identical in signal content to a
+    single call, modulo the per-chunk noise stream).
     """
     fs = settings.sampling_freq
     n = int(round(n_ms * 1e-3 * fs))
     L = settings.code_length
     complex_out = settings.file_type == FileType.IQ8
 
-    total_periods = int(n_ms / settings.code_period_ms) + 2
+    total_periods = int(
+        (start_sample / fs * 1e3 + n_ms) / settings.code_period_ms) + 2
     comps_per_sat = []
     for sat in sats:
         if settings.signal == Signal.B2A:
@@ -132,7 +139,8 @@ def synthesize_if(
 
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
-        t = np.arange(start, stop, dtype=np.float64) / fs
+        t = np.arange(start_sample + start, start_sample + stop,
+                      dtype=np.float64) / fs
         acc = np.zeros(stop - start, dtype=np.complex128) if complex_out \
             else np.zeros(stop - start, dtype=np.float64)
         for sat, comps in zip(sats, comps_per_sat):

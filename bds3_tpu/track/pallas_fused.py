@@ -72,7 +72,13 @@ def _geometry(cfg) -> dict:
     # contribute exactly 0 (their clipped lookups stay in range).
     # group=41 measured best (B2a: 0.537 ms/epoch at 23 s compile vs
     # 0.54/143 s for a fully-unrolled fori_loop, 0.72/13 s at unroll=1)
-    s2_group = int(os.environ.get("FUSED_S2_GROUP", "41"))
+    # default group: 41 for B2a-scale windows (TK=41 -> stage 2 is one
+    # fully-unrolled group); 8 for B1C-scale windows, where the big
+    # p_scr plus 41 concurrently-live (128, NR*BT) one-hot temporaries
+    # overflows the 16 MB scoped-vmem stack (the vector accumulators let
+    # Mosaic overlap unrolled tiles, so liveness scales with the group)
+    s2_default = "41" if cfg.n_win <= 300_000 else "8"
+    s2_group = int(os.environ.get("FUSED_S2_GROUP", s2_default))
     tk = _round_up(_round_up(kb, BT) // BT, s2_group)
     kp = tk * BT
     inv0 = 1.0 / (cfg.step_base * m)    # samples per table entry, host f64

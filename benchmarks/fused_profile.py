@@ -21,13 +21,20 @@ FS = float(os.environ.get("FS", 99.375e6))
 
 
 def setup():
-    from bds3_tpu.config import b2a_settings
+    from bds3_tpu.config import TrackMode, b1c_settings, b2a_settings
     from bds3_tpu.track.driver import channel_code_tables
     from bds3_tpu.track.state import (
         ChannelInit, channel_consts, initial_state, make_track_config,
     )
 
-    s = b2a_settings(sampling_freq=FS, intermediate_freq=FS / 4)
+    sigsel = os.environ.get("SIGNAL", "b2a")
+    if sigsel == "b2a":
+        s = b2a_settings(sampling_freq=FS, intermediate_freq=FS / 4)
+    elif sigsel == "b1c_nb":
+        s = b1c_settings(sampling_freq=FS, intermediate_freq=FS / 4,
+                         track_mode=TrackMode.NARROWBAND)
+    else:
+        s = b1c_settings(sampling_freq=FS, intermediate_freq=FS / 4)
     cfg = make_track_config(s, complex_input=False, epochs_per_block=W)
     inits = [
         ChannelInit(prn=1 + (i % 32), acquired_freq=FS / 4 + 137.0 * i,

@@ -48,3 +48,22 @@ class TestStreamingCapture:
         for k in ("d_ip", "d_qp", "carr_err", "blksize"):
             np.testing.assert_array_equal(got.outputs[k], ref.outputs[k],
                                           err_msg=k)
+
+
+def test_synthesize_if_segmented_continuity():
+    """start_sample renders phase-continuous segments: a capture built
+    in file-append chunks (the 49 s streaming bench) is bit-identical
+    to a single-call render."""
+    import numpy as np
+
+    from bds3_tpu.config import b2a_settings
+    from bds3_tpu.io import SatParams, synthesize_if
+
+    s = b2a_settings(sampling_freq=8e6, intermediate_freq=2e6)
+    sats = [SatParams(prn=3, doppler_hz=800.0, code_phase_chips=123.0,
+                      amplitude=0.8)]
+    whole = synthesize_if(s, sats, n_ms=8.0, noise_std=0.0, seed=5)
+    a = synthesize_if(s, sats, n_ms=5.0, noise_std=0.0, seed=5)
+    b = synthesize_if(s, sats, n_ms=3.0, noise_std=0.0, seed=5,
+                      start_sample=len(a))
+    assert np.array_equal(whole, np.concatenate([a, b]))
