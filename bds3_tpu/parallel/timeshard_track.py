@@ -107,14 +107,25 @@ def time_sharded_track(
     n_epochs: int,
     n_groups: int | None = None,
     axis: str = "time",
+    channel_axis: str | None = None,
+    correlator: str | None = None,
 ):
     """Track `inits` channels over `n_epochs` epochs with the sample
     stream time-sharded across mesh[axis].
 
     n_epochs must divide evenly into mesh_size segments; channels are
-    split into n_groups pipeline groups (default: mesh size, capped by
-    the channel count).  Returns a dict name -> (C, n_epochs) float32.
-    """
+    split into n_groups pipeline groups (default: time-axis size, capped
+    by the channel count).  Returns a dict name -> (C, n_epochs) f32.
+
+    channel_axis: optional second mesh axis — the production pod layout
+    ("time", "channel"): each pipeline group's channels are sharded
+    across mesh[channel_axis], so a 2-D mesh composes the loop-state
+    handoff ring with channel fan-out (SURVEY.md section 2.5;
+    tracking.m:237-254's stream axis x its channel loop).
+    correlator: override the block correlator ("fused" runs the Pallas
+    kernel inside the shard_map workers; default is the config's)."""
+    import dataclasses
+
     n_dev = mesh.shape[axis]
     if n_epochs % n_dev:
         raise ValueError(f"n_epochs {n_epochs} % n_dev {n_dev} != 0")
@@ -125,8 +136,14 @@ def time_sharded_track(
     if C % n_groups:
         raise ValueError(f"channels {C} % groups {n_groups} != 0")
     Cg = C // n_groups
+    n_ch_dev = mesh.shape[channel_axis] if channel_axis else 1
+    if Cg % n_ch_dev:
+        raise ValueError(
+            f"group channels {Cg} % mesh[{channel_axis}] {n_ch_dev} != 0")
 
     cfg = make_track_config(settings, np.iscomplexobj(signal), W)
+    if correlator is not None and correlator != cfg.correlator:
+        cfg = dataclasses.replace(cfg, correlator=correlator)
     consts = channel_consts(cfg, inits, settings)
     data_t, p11_t, p61_t = channel_code_tables(cfg, inits)
     ckd_i, ckd_f = code_coarse_tables(cfg, cfg.m_data)
@@ -165,13 +182,20 @@ def time_sharded_track(
     data_g, p11_g = group(data_t), group(p11_t)
     p61_g = group(p61_t)
 
+    # with a channel axis, the per-group channel dim (dim 1 of every
+    # state/consts/code leaf) is sharded across mesh[channel_axis]; the
+    # signal blocks stay sharded over time only (replicated per channel
+    # column), and the ppermute handoff ring runs along the time axis
+    # within each channel column
+    pc = P(None, channel_axis) if channel_axis else P()
     fn = jax.shard_map(
         functools.partial(_stage_worker, cfg=cfg, n_dev=n_dev, G=n_groups,
                           shift=shift, axis=axis),
         mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P(), P(),
+        in_specs=(P(axis), pc, pc, pc, pc, pc,
                   P(), P(), P(), P()),
-        out_specs=P(axis),
+        out_specs=P(axis, None, None, None, channel_axis)
+        if channel_axis else P(axis),
         check_vma=False,
     )
     res = jax.jit(fn)(
