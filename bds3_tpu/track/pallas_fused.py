@@ -9,9 +9,11 @@ critical path).  Each epoch x channel fuses, entirely in VMEM:
 
   1. carrier mix + validity mask + exclusive prefix sums of the epoch's
      sample window: the lane-exclusive prefix is one MXU matmul against
-     a strictly-upper-triangular matrix, the 32-row offsets a log-roll
-     pass (the XLA chain cast/cos/sin/mask/multiply/2x cumsum was several
-     HBM round trips per epoch),
+     a strictly-upper-triangular matrix, the row offsets a ones-column
+     row-total matmul followed by a block strict-lower-triangular
+     matmul (everything stays on the wide MXU/VPU paths — sublane
+     rolls, narrow lane slices, and scalar loop carries each cost ~1 us
+     of pipeline stall per step; see docs/PERF.md for the bisects),
   2. the prefix-sum (bucket) correlator's chip-boundary lookups — a
      (row, lane) decomposition: an 8-aligned dynamic slice of the prefix
      scratch, a one-hot row-select matmul on the MXU (batched over all
@@ -436,119 +438,119 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             # prefix rows are just the running totals (skip the trig +
             # matmul; with the 4096-sample window alignment up to ~2 of
             # the T tiles are outside on average)
-            def stage1(t, carry):
-                ci, cq = carry
-
-                def mix(masked):
-                    """Carrier mix of step t (S1R rows = S1R/32 SPLIT
-                    tiles); `masked` (static) selects the edge-step path
-                    that zeroes samples outside [off, off+blksize) —
-                    interior steps (all but ~2 per epoch) skip the
-                    iota/compare/multiply chain."""
-                    ring = jax.lax.rem(w * C + c, 2)
-                    # per-SPLIT-subtile row phase bases (the coarse carr_t
-                    # table is tabulated every 4096 samples; rebasing each
-                    # 32-row chunk keeps f32 phase error identical to the
-                    # single-tile kernel)
-                    rows = []
-                    for si in range(S1R // ROWS):
-                        tt = t * (S1R // ROWS) + si
-                        base_t = carr_s[c, tt] + rem_eff \
-                            + (np.float32(tt * SPLIT) if isinstance(tt, int)
-                               else (tt * SPLIT).astype(jnp.float32)) * d_cyc
-                        rows.append(jnp.mod(
-                            base_t + iota_r.astype(jnp.float32) * step_row,
-                            1.0))
-                    row_cyc = jnp.concatenate(rows, axis=0)   # (S1R, 1)
-                    row_ang = two_pi * row_cyc
-                    cr = jnp.cos(row_ang)
-                    sr = jnp.sin(row_ang)
-                    cos_f = cr * cl_t - sr * sl_t             # (S1R, 128)
-                    sin_f = sr * cl_t + cr * sl_t
-                    if masked:
-                        gidx = t * STEP + lin
-                        mask = ((gidx >= off) & (gidx < off + blksize)
-                                ).astype(jnp.float32)
-                    if cplx:
-                        # (I + jQ) * e^{-j theta} (scan.py:145-148)
-                        xr = win_scr[ring, 0, pl.ds(t * S1R, S1R), :]
-                        xi = win_scr[ring, 1, pl.ds(t * S1R, S1R), :]
-                        if masked:
-                            xr = xr * mask
-                            xi = xi * mask
-                        ib = xr * cos_f + xi * sin_f
-                        qb = xi * cos_f - xr * sin_f
-                    else:
-                        x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
-                            jnp.float32)
-                        if masked:
-                            x = x * mask
-                        ib = x * cos_f
-                        qb = -(x * sin_f)
-                    return ib, qb
-
-                def prefix(cin, ib, qb):
-                    # Everything stays on the MXU/VPU wide paths: the row
-                    # totals come from a ones-column matmul (a narrow
-                    # `lexc[:, 127:]` lane slice lowered to slow lane
-                    # shuffles) and the exclusive row-offset prefix from a
-                    # block strict-lower-triangular matmul (the previous
-                    # (S1R,1) sublane log-roll pass cost ~1 us/step).
-                    # Carries are lane-replicated (1, 128) rows — a traced
-                    # scalar carry forces a vector->scalar sync per step.
-                    ci2, cq2 = cin
-                    xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
-                    lexc = dot_fast(xiq, utri)
-                    rtot8 = jnp.dot(xiq, ones8,
-                                    preferred_element_type=jnp.float32)
-                    rofs8 = jnp.dot(trib, rtot8,
-                                    preferred_element_type=jnp.float32)
-                    incl8 = rofs8 + rtot8                     # (2*S1R, 8)
-                    zl = jnp.zeros((1, LANES), jnp.float32)
-                    ti = incl8[S1R - 1:S1R, 0:1] + zl         # (1, 128)
-                    tq = incl8[2 * S1R - 1:2 * S1R, 0:1] + zl
-                    return (lexc[0:S1R] + (rofs8[0:S1R, 0:1] + ci2),
-                            lexc[S1R:] + (rofs8[S1R:, 0:1] + cq2),
-                            ci2 + ti, cq2 + tq)
-
-                # no per-step cond: the validity mask already zeroes
-                # samples outside [off, off+blksize), so fully-outside
-                # tiles contribute exactly the running carry — the old
-                # active/inside/skip cond tree cost more in branch
-                # overhead than the masked-mix work it saved.  When t is
-                # a python int (unrolled loop), tiles provably inside
-                # [off_max, off_min + blksize_min) skip the mask build
-                # entirely (the b2 tail is zero-padded, so even the
-                # clamped out-of-data regime stays finite).
+            def need_mask_of(t):
+                # validity masking makes fully-outside tiles contribute
+                # exactly the running carry (no per-step cond needed);
+                # when t is a python int (unrolled loop), tiles provably
+                # inside [off_max, off_min + blksize_min) skip the mask
+                # build entirely (the b2 tail is zero-padded, so even
+                # the clamped out-of-data regime stays finite)
                 if isinstance(t, int):
-                    need_mask = not (t * STEP >= SPLIT + START_GUARD + 1
-                                     and (t + 1) * STEP
-                                     <= START_GUARD + cfg.q0_int - 8)
+                    return not (t * STEP >= SPLIT + START_GUARD + 1
+                                and (t + 1) * STEP
+                                <= START_GUARD + cfg.q0_int - 8)
+                return True
+
+            def mix(t, masked):
+                """Carrier mix of step t (S1R rows = S1R/32 SPLIT
+                tiles); `masked` (static) selects the edge-step path
+                that zeroes samples outside [off, off+blksize) —
+                interior steps skip the iota/compare/multiply chain."""
+                ring = jax.lax.rem(w * C + c, 2)
+                # per-SPLIT-subtile row phase bases (the coarse carr_t
+                # table is tabulated every 4096 samples; rebasing each
+                # 32-row chunk keeps f32 phase error identical to the
+                # single-tile kernel)
+                rows = []
+                for si in range(S1R // ROWS):
+                    tt = t * (S1R // ROWS) + si
+                    base_t = carr_s[c, tt] + rem_eff \
+                        + (np.float32(tt * SPLIT) if isinstance(tt, int)
+                           else (tt * SPLIT).astype(jnp.float32)) * d_cyc
+                    rows.append(jnp.mod(
+                        base_t + iota_r.astype(jnp.float32) * step_row,
+                        1.0))
+                row_cyc = jnp.concatenate(rows, axis=0)   # (S1R, 1)
+                row_ang = two_pi * row_cyc
+                cr = jnp.cos(row_ang)
+                sr = jnp.sin(row_ang)
+                cos_f = cr * cl_t - sr * sl_t             # (S1R, 128)
+                sin_f = sr * cl_t + cr * sl_t
+                if masked:
+                    gidx = t * STEP + lin
+                    mask = ((gidx >= off) & (gidx < off + blksize)
+                            ).astype(jnp.float32)
+                if cplx:
+                    # (I + jQ) * e^{-j theta} (scan.py:145-148)
+                    xr = win_scr[ring, 0, pl.ds(t * S1R, S1R), :]
+                    xi = win_scr[ring, 1, pl.ds(t * S1R, S1R), :]
+                    if masked:
+                        xr = xr * mask
+                        xi = xi * mask
+                    ib = xr * cos_f + xi * sin_f
+                    qb = xi * cos_f - xr * sin_f
                 else:
-                    need_mask = True
-                cin = (ci, cq)
+                    x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
+                        jnp.float32)
+                    if masked:
+                        x = x * mask
+                    ib = x * cos_f
+                    qb = -(x * sin_f)
+                return ib, qb
+
+            def prefix(cin, ib, qb):
+                # Everything stays on the MXU/VPU wide paths: the row
+                # totals come from a ones-column matmul (a narrow
+                # `lexc[:, 127:]` lane slice lowered to slow lane
+                # shuffles) and the exclusive row-offset prefix from a
+                # block strict-lower-triangular matmul (the previous
+                # (S1R,1) sublane log-roll pass cost ~1 us/step).
+                # Carries are lane-replicated (1, 128) rows — a traced
+                # scalar carry forces a vector->scalar sync per step.
+                ci2, cq2 = cin
+                xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
+                lexc = dot_fast(xiq, utri)
+                rtot8 = jnp.dot(xiq, ones8,
+                                preferred_element_type=jnp.float32)
+                rofs8 = jnp.dot(trib, rtot8,
+                                preferred_element_type=jnp.float32)
+                incl8 = rofs8 + rtot8                     # (2*S1R, 8)
+                zl = jnp.zeros((1, LANES), jnp.float32)
+                ti = incl8[S1R - 1:S1R, 0:1] + zl         # (1, 128)
+                tq = incl8[2 * S1R - 1:2 * S1R, 0:1] + zl
+                return (lexc[0:S1R] + (rofs8[0:S1R, 0:1] + ci2),
+                        lexc[S1R:] + (rofs8[S1R:, 0:1] + cq2),
+                        ci2 + ti, cq2 + tq)
+
+            def s1_inputs(t):
+                """Mix (or the bisect-debug window load) for step t."""
                 if bisect in ("s1loadonly", "s1nomix"):
                     ring = jax.lax.rem(w * C + c, 2)
                     if cplx:
-                        x = win_scr[ring, 0, pl.ds(t * S1R, S1R), :]
-                    else:
-                        x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
-                            jnp.float32)
-                    if bisect == "s1loadonly":
-                        tile_i, tile_q, ci_n, cq_n = \
-                            x, x, cin[0] + x[0:1, :], cin[1]
-                    else:
-                        tile_i, tile_q, ci_n, cq_n = prefix(cin, x, x)
-                elif bisect == "s1noprefix":       # mix, skip prefix matmul
-                    ib, qb = mix(need_mask)
+                        return (win_scr[ring, 0, pl.ds(t * S1R, S1R), :],) * 2
+                    x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
+                        jnp.float32)
+                    return x, x
+                return mix(t, need_mask_of(t))
+
+            def s1_finish(t, cin, mp):
+                """Prefix + store of step t given its mixed tiles."""
+                ib, qb = mp
+                if bisect == "s1loadonly":
+                    tile_i, tile_q, ci_n, cq_n = \
+                        ib, qb, cin[0] + ib[0:1, :], cin[1]
+                elif bisect == "s1noprefix":
                     tile_i, tile_q, ci_n, cq_n = \
                         ib, qb, cin[0] + ib[0:1, :], cin[1] + qb[0:1, :]
                 else:
-                    tile_i, tile_q, ci_n, cq_n = prefix(cin, *mix(need_mask))
+                    tile_i, tile_q, ci_n, cq_n = prefix(cin, ib, qb)
                 if bisect != "s1nostore":
                     p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
                     p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
                 return ci_n, cq_n
+
+            def stage1(t, carry):
+                return s1_finish(t, carry, s1_inputs(t))
 
             # measured: stage1 full unroll does not change runtime but
             # multiplies compile time (benchmarks/unroll_sweep.py)
@@ -559,9 +561,15 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             u1 = int(os.environ.get("FUSED_UNROLL_S1", "0" if T <= 8 else "1"))
             zc = jnp.zeros((1, LANES), jnp.float32)
             if u1 == 0 or u1 >= t1:
+                # software-pipelined trace order: step t+1's (VPU-bound)
+                # mix is emitted before step t's (MXU-bound) prefix so
+                # the scheduler can overlap the units
                 carry = (zc, zc)
+                mp = s1_inputs(0) if t1 > 0 else None
                 for t_py in range(t1):
-                    carry = stage1(t_py, carry)
+                    nxt = s1_inputs(t_py + 1) if t_py + 1 < t1 else None
+                    carry = s1_finish(t_py, carry, mp)
+                    mp = nxt
                 tot_i, tot_q = carry
             else:
                 tot_i, tot_q = jax.lax.fori_loop(
