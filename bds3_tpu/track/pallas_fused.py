@@ -166,11 +166,24 @@ def _geometry(cfg) -> dict:
         s61 = 0
         s2g61 = 1
     rp = r + max(s_rows, s61)           # scratch rows (slice stays in range)
+    # Deferred-lane-prefix mode: stage 1 stores RAW mixed tiles + per-row
+    # exclusive offsets (r_scr) instead of full per-sample prefixes, and
+    # stage 2's lane select becomes a strict `<` mask matmul (the lane
+    # prefix is folded into the select contraction) plus a row-offset
+    # broadcast add.  Removes the big lexc matmul from stage 1 at +1 VPU
+    # op per stage-2 tile.  r_scr is lane-padded to 128 by Mosaic
+    # (rp*512 B) — cheap for B2a-scale windows, ~4 MB for B1C, hence the
+    # size gate.
+    defer_env = os.environ.get("FUSED_DEFER_LANE", "auto")
+    if defer_env == "auto":
+        defer = rp * 512 <= 1 << 20
+    else:
+        defer = defer_env == "1"
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
                 inv0_int=inv0_int, S1R=s1r,
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
                 T=n_win // (s1r * LANES), half_grid=half_grid,
-                n_ramps=n_ramps,
+                n_ramps=n_ramps, DEFER=defer,
                 m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
                 S2G61=s2g61,
                 inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
@@ -190,6 +203,7 @@ def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
     win_b = 8 if cfg.complex_input else win_bytes
     n_planes = 4 if geo["half_grid"] else 2
     vmem = (geo["RP"] * 256 * 4                       # prefix scratch
+            + (geo["RP"] * 512 if geo["DEFER"] else 0)  # row-offset scratch
             + 2 * geo["n_win"] * win_b                # window ring (depth 2)
             + n_channels * n_planes * geo["kp"] * 4   # dcode tables
             + 2 * geo["kp61"] * 4                     # BOC(6,1) weight ring
@@ -287,6 +301,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     dllf = np.float32(cfg.dll_factor)
 
     R_WIN = geo["n_win"] // LANES
+    DEFER = geo["DEFER"]
 
     S1R = geo["S1R"]                 # stage-1 rows per loop step
     STEP = S1R * LANES               # stage-1 samples per loop step
@@ -294,8 +309,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     def kernel(cursor0_s, adv_s, carr_s, abase_s, q0cyc_s, dstep0_s,
                tbint_s, tbfrac_s, tb61int_s, tb61frac_s, statef_s,
                cursorin_s, b2_ref, dcode_ref, p61w_ref,
-               out_ref, curout_s, p_scr, stf, sti, win_scr, dma_sem,
-               p61_scr, dma61_sem):
+               out_ref, curout_s, p_scr, r_scr, stf, sti, win_scr,
+               dma_sem, p61_scr, dma61_sem):
         w = pl.program_id(0)
 
         # windows stream HBM->VMEM by explicit DMA on a per-(epoch,
@@ -355,7 +370,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
         utri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                 ).astype(jnp.float32)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+        iota_r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        iota_g4 = jax.lax.broadcasted_iota(jnp.int32, (ROWS // 8, 1), 0)
         # prefix() constants: ones column-block for row totals, block
         # strict-lower-triangular (per I/Q half) for exclusive row offsets
         ones8 = jnp.ones((LANES, 8), jnp.float32)
@@ -428,9 +444,6 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             # every f32 phase term small (precision >= the old path,
             # whose lin*slope product reached ~560 cycles).
             lane_cyc = jnp.mod(iota_o.astype(jnp.float32) * slope, 1.0)
-            lane_ang = two_pi * lane_cyc                      # (1, 128)
-            cl_t = jnp.cos(lane_ang)
-            sl_t = jnp.sin(lane_ang)
             step_row = jnp.mod(jnp.float32(LANES) * slope, 1.0)
 
             # --- stage 1: mix + mask + exclusive prefix into p_scr -------
@@ -457,25 +470,47 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 that zeroes samples outside [off, off+blksize) —
                 interior steps skip the iota/compare/multiply chain."""
                 ring = jax.lax.rem(w * C + c, 2)
-                # per-SPLIT-subtile row phase bases (the coarse carr_t
-                # table is tabulated every 4096 samples; rebasing each
-                # 32-row chunk keeps f32 phase error identical to the
-                # single-tile kernel)
-                rows = []
+                # Two-level angle addition: phase(r, l) with r = 8*r1+r2
+                # splits into a WIDE (8, 128) inner factor (r2 rows x
+                # lane phases — ONE native-tile cos/sin pair) and a
+                # narrow (32, 1) outer factor (8-row group phases,
+                # rebased per SPLIT sub-tile from the coarse carr_t
+                # table exactly as before).  The previous (S1R, 1) row
+                # trig cost ~32 sublane-tile transcendentals per
+                # cos/sin — measured HALF of stage-1 time (s1cheaptrig
+                # bisect, docs/PERF.md).
+                inner_cyc = jnp.mod(
+                    iota_r8.astype(jnp.float32) * step_row + lane_cyc, 1.0)
+                inner_ang = two_pi * inner_cyc            # (8, 128)
+                if bisect == "s1cheaptrig":   # timing probe: same shapes
+                    ic = inner_cyc - 0.5      # and dataflow, no cos/sin
+                    isn = 0.5 - inner_cyc
+                else:
+                    ic = jnp.cos(inner_ang)
+                    isn = jnp.sin(inner_ang)
+                step8 = jnp.mod(jnp.float32(8.0) * step_row, 1.0)
+                grp = []
                 for si in range(S1R // ROWS):
                     tt = t * (S1R // ROWS) + si
                     base_t = carr_s[c, tt] + rem_eff \
                         + (np.float32(tt * SPLIT) if isinstance(tt, int)
                            else (tt * SPLIT).astype(jnp.float32)) * d_cyc
-                    rows.append(jnp.mod(
-                        base_t + iota_r.astype(jnp.float32) * step_row,
-                        1.0))
-                row_cyc = jnp.concatenate(rows, axis=0)   # (S1R, 1)
-                row_ang = two_pi * row_cyc
-                cr = jnp.cos(row_ang)
-                sr = jnp.sin(row_ang)
-                cos_f = cr * cl_t - sr * sl_t             # (S1R, 128)
-                sin_f = sr * cl_t + cr * sl_t
+                    grp.append(jnp.mod(
+                        base_t + iota_g4.astype(jnp.float32) * step8, 1.0))
+                outer_cyc = jnp.concatenate(grp, axis=0)  # (S1R/8, 1)
+                outer_ang = two_pi * outer_cyc
+                if bisect == "s1cheaptrig":
+                    oc = outer_cyc - 0.5
+                    osn = 0.5 - outer_cyc
+                else:
+                    oc = jnp.cos(outer_ang)
+                    osn = jnp.sin(outer_ang)
+                oc8 = jnp.repeat(oc, 8, axis=0)           # (S1R, 1)
+                os8 = jnp.repeat(osn, 8, axis=0)
+                ict = jnp.tile(ic, (S1R // 8, 1))         # (S1R, 128)
+                ist = jnp.tile(isn, (S1R // 8, 1))
+                cos_f = ict * oc8 - ist * os8             # (S1R, 128)
+                sin_f = ist * oc8 + ict * os8
                 if masked:
                     gidx = t * STEP + lin
                     mask = ((gidx >= off) & (gidx < off + blksize)
@@ -507,9 +542,11 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 # (S1R,1) sublane log-roll pass cost ~1 us/step).
                 # Carries are lane-replicated (1, 128) rows — a traced
                 # scalar carry forces a vector->scalar sync per step.
+                # DEFER mode returns the RAW mixed tiles plus per-row
+                # exclusive offsets (rofs rows) — the lane-level prefix
+                # is folded into stage 2's select matmul.
                 ci2, cq2 = cin
                 xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
-                lexc = dot_fast(xiq, utri)
                 rtot8 = jnp.dot(xiq, ones8,
                                 preferred_element_type=jnp.float32)
                 rofs8 = jnp.dot(trib, rtot8,
@@ -518,24 +555,33 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 zl = jnp.zeros((1, LANES), jnp.float32)
                 ti = incl8[S1R - 1:S1R, 0:1] + zl         # (1, 128)
                 tq = incl8[2 * S1R - 1:2 * S1R, 0:1] + zl
+                if DEFER:
+                    return (ib, qb,
+                            rofs8[0:S1R] + ci2[:, 0:8],
+                            rofs8[S1R:] + cq2[:, 0:8],
+                            ci2 + ti, cq2 + tq)
+                lexc = dot_fast(xiq, utri)
                 return (lexc[0:S1R] + (rofs8[0:S1R, 0:1] + ci2),
                         lexc[S1R:] + (rofs8[S1R:, 0:1] + cq2),
-                        ci2 + ti, cq2 + tq)
+                        None, None, ci2 + ti, cq2 + tq)
 
             def s1_inputs(t):
                 """Mix (or the bisect-debug window load) for step t."""
-                if bisect in ("s1loadonly", "s1nomix"):
+                if bisect in ("s1loadonly", "s1nomix", "s1negq"):
                     ring = jax.lax.rem(w * C + c, 2)
                     if cplx:
                         return (win_scr[ring, 0, pl.ds(t * S1R, S1R), :],) * 2
                     x = win_scr[ring, pl.ds(t * S1R, S1R), :].astype(
                         jnp.float32)
+                    if bisect == "s1negq":   # distinct-but-cheap I/Q
+                        return x, -x
                     return x, x
                 return mix(t, need_mask_of(t))
 
             def s1_finish(t, cin, mp):
                 """Prefix + store of step t given its mixed tiles."""
                 ib, qb = mp
+                ri_r = rq_r = None
                 if bisect == "s1loadonly":
                     tile_i, tile_q, ci_n, cq_n = \
                         ib, qb, cin[0] + ib[0:1, :], cin[1]
@@ -543,10 +589,14 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     tile_i, tile_q, ci_n, cq_n = \
                         ib, qb, cin[0] + ib[0:1, :], cin[1] + qb[0:1, :]
                 else:
-                    tile_i, tile_q, ci_n, cq_n = prefix(cin, ib, qb)
+                    tile_i, tile_q, ri_r, rq_r, ci_n, cq_n = \
+                        prefix(cin, ib, qb)
                 if bisect != "s1nostore":
                     p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
                     p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
+                    if DEFER and ri_r is not None:
+                        r_scr[pl.ds(t * S1R, S1R), 0:8] = ri_r
+                        r_scr[pl.ds(t * S1R, S1R), 8:16] = rq_r
                 return ci_n, cq_n
 
             def stage1(t, carry):
@@ -575,11 +625,21 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 tot_i, tot_q = jax.lax.fori_loop(
                     0, t1, stage1, (zc, zc), unroll=min(u1, t1))
             # P[n_win] lives at (row R, lane 0); rows >= R must be finite
-            # (0-weight x NaN would poison the row-select matmul)
-            p_scr[pl.ds(R, RP - R), 0:128] = jnp.broadcast_to(
-                tot_i, (RP - R, 128))
-            p_scr[pl.ds(R, RP - R), 128:256] = jnp.broadcast_to(
-                tot_q, (RP - R, 128))
+            # (0-weight x NaN would poison the row-select matmul).
+            # DEFER: tail raw samples are zero and the row offsets carry
+            # the block totals, so P[j >= n_win] = total exactly.
+            if DEFER:
+                p_scr[pl.ds(R, RP - R), :] = jnp.zeros((RP - R, 256),
+                                                       jnp.float32)
+                r_scr[pl.ds(R, RP - R), 0:8] = jnp.broadcast_to(
+                    tot_i[:, 0:8], (RP - R, 8))
+                r_scr[pl.ds(R, RP - R), 8:16] = jnp.broadcast_to(
+                    tot_q[:, 0:8], (RP - R, 8))
+            else:
+                p_scr[pl.ds(R, RP - R), 0:128] = jnp.broadcast_to(
+                    tot_i, (RP - R, 128))
+                p_scr[pl.ds(R, RP - R), 128:256] = jnp.broadcast_to(
+                    tot_q, (RP - R, 128))
 
             # stage 1 was this sequence's last read of its window buffer;
             # start refilling it with sequence n+2's window (the VPU loads
@@ -627,16 +687,24 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 row_rel = (j3 >> 7) - q0a                       # (1, NR*BT)
                 lane = j3 & 127
 
-                # (row, lane) select, lane first: the lane one-hot matmul
+                # (row, lane) select, lane first: the lane select matmul
                 # contracts over 128 lanes (full MXU pipe; the round-1
                 # row-first order contracted over S=32 rows, <=25%
                 # utilization), then the row select is a cheap (S, NR*BT)
-                # mask-reduce on the VPU.
-                lane_oh = (iota_l3 == lane).astype(jnp.float32)  # (128, NR*BT)
+                # mask-reduce on the VPU.  DEFER mode: p_scr holds RAW
+                # mixed samples, so the select mask is the strict `<`
+                # lane prefix and the per-row exclusive offsets (r_scr)
+                # are broadcast-added before the row reduce.
+                sel = (iota_l3 < lane) if DEFER else (iota_l3 == lane)
+                lane_oh = sel.astype(jnp.float32)        # (128, NR*BT)
                 sl = p_scr[pl.ds(q0a, S), :]                     # (S, 256)
                 tmp_i = dot_fast(sl[:, 0:128], lane_oh)
                 tmp_q = dot_fast(sl[:, 128:256], lane_oh)
                 row_m = (iota_s3 == row_rel).astype(jnp.float32)  # (S, NR*BT)
+                if DEFER:
+                    rof = r_scr[pl.ds(q0a, S), :]                # (S, 16)
+                    tmp_i = tmp_i + rof[:, 0:1]
+                    tmp_q = tmp_q + rof[:, 8:9]
                 vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                 vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
@@ -735,11 +803,17 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     row_rel = (j3 >> 7) - q0a                  # (1, 3*BT)
                     lane = j3 & 127
 
-                    lane_oh = (iota_l61 == lane).astype(jnp.float32)
+                    sel61 = ((iota_l61 < lane) if DEFER
+                             else (iota_l61 == lane))
+                    lane_oh = sel61.astype(jnp.float32)
                     sl = p_scr[pl.ds(q0a, S61), :]             # (S61, 256)
                     tmp_i = dot_fast(sl[:, 0:128], lane_oh)
                     tmp_q = dot_fast(sl[:, 128:256], lane_oh)
                     row_m = (iota_s61 == row_rel).astype(jnp.float32)
+                    if DEFER:
+                        rof = r_scr[pl.ds(q0a, S61), :]        # (S61, 16)
+                        tmp_i = tmp_i + rof[:, 0:1]
+                        tmp_q = tmp_q + rof[:, 8:9]
                     vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                     vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
@@ -993,6 +1067,8 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
         ],
         scratch_shapes=[
             pltpu.VMEM((geo["RP"], 256), jnp.float32),
+            pltpu.VMEM((geo["RP"] if geo["DEFER"] else 8, 16),
+                       jnp.float32),                       # row offsets
             pltpu.SMEM((C, 10), jnp.float32),
             pltpu.SMEM((C, 2), jnp.int32),
             (pltpu.VMEM((2, 2, r_win, LANES), jnp.float32)
