@@ -152,6 +152,7 @@ def track(
     epochs_per_block: int = 100,
     correlator: str = "auto",
     download: bool = True,
+    sync_each_block: bool = False,
 ) -> TrackResults:
     """Track all channels for n_epochs integration periods.
 
@@ -164,6 +165,11 @@ def track(
     download: when False, TrackResults carries lazy device arrays (no
     device->host transfer) — use for throughput runs / pipelining; call
     np.asarray on the fields (or rerun with download=True) to realize.
+    sync_each_block: block on each tracking block's state before
+    uploading the next — bounds host memory to ~one in-flight block
+    when streaming multi-GB captures through a buffering transport
+    (the dev relay queues unsynced uploads; ~8 GB of staging on the
+    49 s capture).  Costs pipelining, so leave False unless IO-bound.
     """
     import jax
 
@@ -302,6 +308,8 @@ def track(
                 [outs[k].astype(jnp.float32) for k in names]
             ))
             state = new_state._replace(cursor=new_state.cursor - shift)
+            if sync_each_block:
+                jax.block_until_ready(state.cursor)
         stacked_dev = jnp.concatenate(out_chunks, axis=1)
 
     # stacked_dev: (F, E, C)

@@ -307,7 +307,7 @@ def bench_streaming_49s(s):
     inits = make_inits(s, B2A_SATS, 12)
     t0 = time.time()
     res = track(cap, s, inits, n_epochs=48_500, epochs_per_block=2000,
-                correlator="fused", download=False)
+                correlator="fused", download=False, sync_each_block=True)
     np.asarray(res.outputs["d_ip"][:, -200:])
     wall = time.time() - t0
     tracked = res.n_epochs * s.int_time
