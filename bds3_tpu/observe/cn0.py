@@ -51,7 +51,8 @@ def _pilot_iq(track, ch: int):
     return o["p11_qp"][ch], o["p11_ip"][ch]
 
 
-def channel_health(track, lock_threshold: float = 0.5) -> list[dict]:
+def channel_health(track, lock_threshold: float = 0.5,
+                   cn0_floor_db: float = 28.0) -> list[dict]:
     """Per-channel tracking health summary for the pipeline.
 
     The reference surfaces C/N0 + the PLL lock detector live every
@@ -65,11 +66,23 @@ def channel_health(track, lock_threshold: float = 0.5) -> list[dict]:
         locks = series["data_lock"]
         cn0 = series["total_cn0"]
         finite = cn0[np.isfinite(cn0)]
+        cn0_med = float(np.median(finite)) if len(finite) else float("nan")
+        # lock requires the NBP/NBD detector AND a plausible VSM C/N0:
+        # a channel pulled onto a code cross-correlation peak of a
+        # strong satellite can phase-lock its carrier loop (NBP/NBD
+        # near 1) while its VSM C/N0 is NaN (variance above mean power)
+        # or far below any trackable signal (~24 dB-Hz measured for a
+        # Weil cross-correlation channel) — the false-alarm signature.
+        # The reference displays C/N0 live but never gates on it
+        # (tracking.m:409-434); the floor here is this framework's
+        # health-gate addition.
         out.append({
             "prn": int(track.prns[ch]),
-            "cn0_db": float(np.median(finite)) if len(finite) else float("nan"),
+            "cn0_db": cn0_med,
             "pll_lock": float(np.mean(locks)) if len(locks) else float("nan"),
-            "lock_ok": bool(len(locks) and np.mean(locks) >= lock_threshold),
+            "lock_ok": bool(len(locks) and np.mean(locks) >= lock_threshold
+                            and np.isfinite(cn0_med)
+                            and cn0_med >= cn0_floor_db),
         })
     return out
 
