@@ -215,11 +215,25 @@ def _fine_code_tables_cached(s: Settings, prns) -> tuple[np.ndarray, np.ndarray]
 def _device_acq_tables(s: Settings, prns):
     """Device-resident (d8, p8, fd, fp) — re-uploading ~190 MB of code
     tables per acquire() call dominated the warm wall on the remote
-    TPU link."""
+    TPU link.
+
+    Retention note: each (Settings, prns) key pins ~190 MB of device
+    memory for the process lifetime (up to 8 entries, and distinct PRN
+    subsets or Settings variants each add one).  Memory-constrained
+    multi-config runs should call `clear_acq_caches()` between
+    configs."""
     d8, p8 = acq_code_tables(s, np.asarray(prns))
     fd, fp = fine_code_tables(s, np.asarray(prns))
     return (jnp.asarray(d8), jnp.asarray(p8),
             jnp.asarray(fd), jnp.asarray(fp))
+
+
+def clear_acq_caches() -> None:
+    """Drop all cached host/device acquisition code tables (frees the
+    device allocations pinned by `_device_acq_tables`)."""
+    _device_acq_tables.cache_clear()
+    _full_code_tables_cached.cache_clear()
+    _fine_code_tables_cached.cache_clear()
 
 
 def glrt_noise_power(window) -> float:

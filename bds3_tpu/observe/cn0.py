@@ -21,7 +21,12 @@ def vsm_cn0(i_p: np.ndarray, q_p: np.ndarray, int_time: float) -> float:
     pav = np.sqrt(max(zm * zm - zv, 0.0))
     nv = 0.5 * (zm - pav)
     if nv <= 0:
-        return np.inf
+        # noiseless/very clean window (variance estimate hit zero): a
+        # genuinely locked channel, not the NaN false-alarm signature
+        # (variance above mean power).  Clamp to a large finite C/N0 so
+        # downstream median/floor gates treat it as healthy instead of
+        # dropping it as non-finite.
+        return 1e10
     return abs((1.0 / int_time) * pav / (2.0 * nv))
 
 

@@ -31,11 +31,13 @@ def plot_acquisition(acq, threshold: float):
 
 def plot_tracking(track, channel: int):
     """Per-channel tracking dashboard (plotTracking.m:40-167): IQ
-    constellation, nav bits, discriminators, correlator envelopes."""
+    constellation, nav bits, discriminators, correlator envelopes,
+    and the per-interval C/N0 + PLL-lock archives (the reference's
+    CNo panel, plotTracking.m:40-167)."""
     o = track.outputs
     ip, qp = o["d_ip"][channel], o["d_qp"][channel]
     t = np.arange(len(ip)) * track.int_time
-    fig, axs = plt.subplots(3, 2, figsize=(12, 9))
+    fig, axs = plt.subplots(4, 2, figsize=(12, 12))
     fig.suptitle(f"Channel {channel} (PRN {track.prns[channel]})")
 
     axs[0, 0].plot(ip, qp, ".", ms=1)
@@ -61,6 +63,32 @@ def plot_tracking(track, channel: int):
     axs[2, 1].plot(t, track.carr_freq[channel] - track.acquired_freq[channel],
                    lw=0.6)
     axs[2, 1].set_title("Carrier freq - acquired [Hz]")
+
+    # C/N0 + lock archives every cn0_interval epochs (Calc_CNo_PLD.m
+    # cadence; the reference plots its CNo archive in this slot)
+    from bds3_tpu.observe.cn0 import cn0_pld_series
+
+    series = cn0_pld_series(track, channel)
+    interval = track.settings.cn0_interval
+    tw = (np.arange(len(series["total_cn0"])) + 0.5) * interval \
+        * track.int_time
+    axs[3, 0].plot(tw, series["total_cn0"], ".-", label="total")
+    axs[3, 0].plot(tw, series["data_cn0"], ".-", ms=2, lw=0.5,
+                   label="data")
+    if np.any(series["pilot_cn0"] != 0):
+        axs[3, 0].plot(tw, series["pilot_cn0"], ".-", ms=2, lw=0.5,
+                       label="pilot")
+    axs[3, 0].set_title("C/N0 [dB-Hz]")
+    axs[3, 0].set_xlabel("Time [s]")
+    axs[3, 0].legend(fontsize=8)
+
+    axs[3, 1].plot(tw, series["data_lock"], ".-", label="data NBD/NBP")
+    if np.any(series["pilot_lock"] != 0):
+        axs[3, 1].plot(tw, series["pilot_lock"], ".-", label="pilot")
+    axs[3, 1].set_ylim(-1.1, 1.1)
+    axs[3, 1].set_title("PLL lock detector")
+    axs[3, 1].set_xlabel("Time [s]")
+    axs[3, 1].legend(fontsize=8)
     for ax in axs.flat:
         ax.grid(alpha=0.3)
     fig.tight_layout()

@@ -15,6 +15,7 @@ from bds3_tpu.signals.b2a import (  # noqa: F401
     b2a_data_code,
     b2a_data_secondary,
     b2a_pilot_code,
+    b2a_pilot_secondary,
 )
 from bds3_tpu.signals.sampling import (  # noqa: F401
     sample_chips,

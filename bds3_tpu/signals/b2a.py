@@ -58,3 +58,22 @@ def b2a_data_secondary() -> np.ndarray:
     Reference: `BDS-3_B2a/include/BCNAV2decoding.m:69`.
     """
     return np.array(icd.B2A_DATA_SECONDARY, dtype=np.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def b2a_pilot_secondary(prn: int) -> np.ndarray:
+    """100-chip pilot secondary code, bipolar int8 (ICD-B2a-1.0
+    section 5.2.3: truncated Weil-1021, one chip per 1 ms code period).
+
+    The reference receiver has no counterpart — its tracker never uses
+    the pilot secondary.  NOTE: the per-PRN (w, p) parameters are a
+    placeholder, not the ICD broadcast values (no source available in
+    this environment); see icd_tables.B2A_PILOT_SECONDARY_WP.
+    """
+    from bds3_tpu.signals.weil import weil_code
+
+    w, p = icd.B2A_PILOT_SECONDARY_WP[prn - 1]
+    return weil_code(
+        icd.B2A_PILOT_SECONDARY_LEGENDRE_N, w, p,
+        icd.B2A_PILOT_SECONDARY_LENGTH,
+    )

@@ -275,9 +275,14 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     two_pi = np.float32(2.0 * np.pi)
     bisect = os.environ.get("FUSED_BISECT", "full")
     # "bf16x2": run the big select/prefix matmuls as two bf16 passes
-    # (hi + residual) instead of one fp32 pass — ~2^-17 relative error
-    # on the correlators (orders below both the 5e-2 test tolerance and
-    # thermal noise), substantially faster on the bf16-native MXU
+    # (hi + residual) instead of one fp32 pass.  The ~2^-17 relative
+    # error bound holds for DEFER/raw-sample operands (values O(1));
+    # in non-DEFER mode the operands are large prefix sums (up to ~1e7
+    # for full-rate windows) and the Abel-weight contraction cancels
+    # heavily, so the ABSOLUTE error scales with prefix magnitude —
+    # exactly the long-window configs where non-DEFER is auto-selected.
+    # Keep bf16x2 opt-in and prefer it only with DEFER=1.  (Measured
+    # ~15% slower than fp32 on v5e anyway; knob kept for other HW.)
     prec = os.environ.get("FUSED_PREC", "f32")
 
     def dot_fast(a, b):
@@ -457,11 +462,15 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 # when t is a python int (unrolled loop), tiles provably
                 # inside [off_max, off_min + blksize_min) skip the mask
                 # build entirely (the b2 tail is zero-padded, so even
-                # the clamped out-of-data regime stays finite)
+                # the clamped out-of-data regime stays finite).  The
+                # upper bound uses q0_int alone (not +START_GUARD):
+                # on the first epoch of the first block the minimum-
+                # cursor channel can have off = cursor0 < START_GUARD
+                # (win_r0 clamps r0 to 0), so the interior window must
+                # hold for off as low as 0.
                 if isinstance(t, int):
                     return not (t * STEP >= SPLIT + START_GUARD + 1
-                                and (t + 1) * STEP
-                                <= START_GUARD + cfg.q0_int - 8)
+                                and (t + 1) * STEP <= cfg.q0_int - 8)
                 return True
 
             def mix(t, masked):

@@ -18,6 +18,13 @@ class TestVSM:
             true = a**2 / (2 * sigma**2) / int_time
             assert est == pytest.approx(true, rel=0.25)
 
+    def test_noiseless_window_is_healthy(self):
+        # a perfectly clean (zero-variance) prompt window must read as a
+        # large finite C/N0, not +inf/NaN — otherwise the health gate's
+        # finite-median check flags a genuinely locked channel
+        est = vsm_cn0(np.full(100, 1000.0), np.zeros(100), 1e-3)
+        assert np.isfinite(est) and est > 1e8
+
     def test_lock_detector(self):
         rng = np.random.default_rng(1)
         i_p = 1000.0 * np.sign(rng.normal(size=500)) + rng.normal(0, 50, 500)
@@ -42,18 +49,57 @@ class TestPlots:
         fig = plots.plot_acquisition(FakeAcq(), 5.0)
         fig.savefig(tmp_path / "acq.png")
 
+        from bds3_tpu.config import b2a_settings
+
         class FakeTrack:
             prns = np.array([19])
             acquired_freq = np.array([7.5e6])
             int_time = 1e-3
             E = 500
+            settings = b2a_settings()
             outputs = {
                 k: np.abs(np.random.default_rng(0).normal(1000, 100, (1, 500)))
                 for k in ("d_ie", "d_qe", "d_ip", "d_qp", "d_il", "d_ql",
-                          "code_err", "carr_err")
+                          "p11_ip", "p11_qp", "code_err", "carr_err")
             }
             carr_freq = np.full((1, 500), 7.5e6 + 100.0)
 
         fig = plots.plot_tracking(FakeTrack(), 0)
         fig.savefig(tmp_path / "trk.png")
         assert (tmp_path / "trk.png").stat().st_size > 0
+
+
+class TestB2aPilotSecondarySync:
+    def test_recovers_phase_and_polarity(self):
+        from bds3_tpu.config import b2a_settings
+        from bds3_tpu.observe.secondary import b2a_pilot_secondary_sync
+        from bds3_tpu.signals import b2a_pilot_secondary
+
+        rng = np.random.default_rng(7)
+        prn, phi, pol, E = 23, 37, -1, 700
+        overlay = -b2a_pilot_secondary(prn).astype(np.float64)
+        e = np.arange(E)
+        q = pol * 800.0 * overlay[(e + phi) % 100] + rng.normal(0, 200, E)
+
+        class FakeTrack:
+            prns = np.array([prn])
+            settings = b2a_settings()
+            outputs = {"p11_qp": q[None, :]}
+
+        got = b2a_pilot_secondary_sync(FakeTrack(), 0)
+        assert got["shift"] == phi
+        assert got["polarity"] == pol
+        assert got["metric"] > 2.0
+        assert got["aligned_fraction"] > 0.95
+
+    def test_weil_structure(self):
+        # balancedness / construction sanity of the Weil-1021 generator
+        from bds3_tpu.signals import b2a_pilot_secondary
+
+        for prn in (1, 30, 63):
+            sec = b2a_pilot_secondary(prn)
+            assert sec.shape == (100,)
+            assert set(np.unique(sec)) <= {-1, 1}
+        # distinct PRNs get distinct codes under the parameter table
+        assert not np.array_equal(b2a_pilot_secondary(1),
+                                  b2a_pilot_secondary(2))

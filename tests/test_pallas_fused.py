@@ -12,6 +12,7 @@ geometry (blksize), and convergence is asserted absolutely against the
 synthesized truth.
 """
 import numpy as np
+import pytest
 
 from bds3_tpu.config import b2a_settings
 from bds3_tpu.io import SatParams, synthesize_if
@@ -28,8 +29,26 @@ def _init_for(s, sat):
         code_phase=int(round(start * s.sampling_freq)), peak_metric=2.0)
 
 
+@pytest.fixture(params=["0", "1"])
+def defer_lane(request, monkeypatch):
+    """Force FUSED_DEFER_LANE and invalidate jit traces around the test.
+
+    Covers BOTH the deferred-lane-prefix branch (auto-selected at CI
+    scale) and the non-DEFER prefix/select branch (the production
+    full-rate B1C path, otherwise only reachable via env).  The jit
+    cache keys on static cfg only, so caches are cleared on entry (to
+    retrace under the forced env) and on exit (so later tests don't
+    reuse traces compiled under it)."""
+    import jax
+
+    monkeypatch.setenv("FUSED_DEFER_LANE", request.param)
+    jax.clear_caches()
+    yield request.param
+    jax.clear_caches()
+
+
 class TestFusedKernel:
-    def test_matches_bucket(self):
+    def test_matches_bucket(self, defer_lane):
         s = b2a_settings(sampling_freq=10e6, intermediate_freq=2.5e6)
         sats = [
             SatParams(prn=19, doppler_hz=777.0, code_phase_chips=123.0,
