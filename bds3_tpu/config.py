@@ -89,6 +89,9 @@ class Settings:
     elevation_mask_deg: float = 5.0
     use_tropo_corr: bool = True
     start_offset_ms: float = 68.802           # initial travel-time guess
+    # UTM E/N datum: "wgs84" (direct), or "ed50" for exact parity with
+    # the reference's historic cart2utm.m path (see pvt/geodesy.py)
+    utm_datum: str = "wgs84"
 
     # ---------------------------------------------------------------------
     @property

@@ -206,16 +206,17 @@ def synthesize_scenario(sc: Scenario, n_ms: float | None = None,
                  amplitude),
             ]
             # B2a pilot 100-chip secondary overlay (1 chip per 1 ms code
-            # period, B2a ICD section 5.2.3).  The published per-PRN
-            # Weil-100 tables are not bundled; a PRN-seeded +-1 sequence
-            # exercises the identical receiver-side property — every
-            # discriminator the tracking loops use (atan(-I/Q), E-L
-            # power, VSM C/N0) is invariant to per-epoch pilot sign
-            # flips, which tests/test_e2e_pvt.py proves end to end.
+            # period, B2a ICD section 5.2.3): the ICD Weil-1021-truncated
+            # construction via signals.b2a.b2a_pilot_secondary (per-PRN
+            # parameters are a documented placeholder — see
+            # icd_tables.B2A_PILOT_SECONDARY_WP).  The receiver-side
+            # secondary sync (observe.secondary.b2a_pilot_secondary_sync)
+            # uses the same generator, so pilot-aided frame alignment
+            # works end to end on synthesized captures.
             if pilot_secondary:
-                rng_sec = np.random.default_rng(1000 + eph.prn)
-                sec_pilot = np.where(
-                    rng_sec.random(100) < 0.5, -1.0, 1.0)
+                from bds3_tpu.signals import b2a_pilot_secondary
+
+                sec_pilot = b2a_pilot_secondary(eph.prn).astype(np.float64)
             else:
                 sec_pilot = None
         else:

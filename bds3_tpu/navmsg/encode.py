@@ -71,13 +71,43 @@ def build_bcnav2_message(eph: Ephemeris, mtype: int, sow_s: float) -> np.ndarray
         _set_s(b, 199, 222, _q(eph.c_rc, 2.0**-8))
         _set_s(b, 223, 243, _q(eph.c_us, 2.0**-30))
         _set_s(b, 244, 264, _q(eph.c_uc, 2.0**-30))
-    elif mtype == 30:
+    elif mtype in (30, 31, 32):
         _set_u(b, 43, 53, _q(eph.t_oc, 300))
         _set_s(b, 54, 78, _q(eph.a_0, 2.0**-34))
         _set_s(b, 79, 100, _q(eph.a_1, 2.0**-50))
         _set_s(b, 101, 111, _q(eph.a_2, 2.0**-66))
         _set_u(b, 112, 113, (eph.iodc >> 8) & 3)
         _set_u(b, 114, 121, eph.iodc & 0xFF)
+        if mtype == 30:
+            _set_s(b, 122, 133, _q(eph.t_gd_b2ap, 2.0**-34))
+            _set_s(b, 134, 145, _q(eph.isc_b2ad, 2.0**-34))
+    elif mtype == 33:
+        # Clock + BGTO; IODC follows the BGTO block (see ephemeris.py's
+        # MT33 deviation note)
+        _set_u(b, 43, 53, _q(eph.t_oc, 300))
+        _set_s(b, 54, 78, _q(eph.a_0, 2.0**-34))
+        _set_s(b, 79, 100, _q(eph.a_1, 2.0**-50))
+        _set_s(b, 101, 111, _q(eph.a_2, 2.0**-66))
+        _set_u(b, 112, 114, eph.gnss_id)
+        _set_u(b, 115, 127, eph.wn_0_bgto)
+        _set_u(b, 128, 143, _q(eph.t_0_bgto, 16.0))
+        _set_s(b, 144, 159, _q(eph.a_0_bgto, 2.0**-35))
+        _set_s(b, 160, 172, _q(eph.a_1_bgto, 2.0**-51))
+        _set_s(b, 173, 179, _q(eph.a_2_bgto, 2.0**-68))
+        _set_u(b, 180, 181, (eph.iodc >> 8) & 3)
+        _set_u(b, 182, 189, eph.iodc & 0xFF)
+    elif mtype == 34:
+        # SISAI + Clock
+        _set_u(b, 43, 53, _q(eph.t_op, 300))
+        _set_u(b, 54, 58, eph.sisai_ocb)
+        _set_u(b, 59, 61, eph.sisai_oc1)
+        _set_u(b, 62, 64, eph.sisai_oc2)
+        _set_u(b, 65, 75, _q(eph.t_oc, 300))
+        _set_s(b, 76, 100, _q(eph.a_0, 2.0**-34))
+        _set_s(b, 101, 122, _q(eph.a_1, 2.0**-50))
+        _set_s(b, 123, 133, _q(eph.a_2, 2.0**-66))
+        _set_u(b, 134, 135, (eph.iodc >> 8) & 3)
+        _set_u(b, 136, 143, eph.iodc & 0xFF)
     else:
         raise ValueError(f"unsupported message type {mtype}")
     return _append_crc(b)

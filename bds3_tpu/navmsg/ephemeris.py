@@ -6,10 +6,21 @@ reference decoders (`BDS-3_B1C/include/ephemeris.m:66-237`,
 `BDS-3_B2a/include/ephemeris.m:57-310`).  Known reference defects handled
 here (SURVEY.md section 2.4):
 
-- B2a MT33/MT34 in the reference assign UTC/BGTO fields from copy-pasted
-  wrong bit ranges (all reading bits 123:133); we decode only the
-  well-defined clock/IODC fields of those messages and leave the rest
-  unset.
+- B2a MT33/MT34 in the reference are partially copy-paste-broken
+  (`BDS-3_B2a/include/ephemeris.m:157-297`).  Deltas decoded here
+  correctly per ICD-B2a-1.0:
+  * MT33 carries Clock + BGTO.  The reference's BGTO ranges (112:179)
+    are correct (widths 3/13/16/16/13/7 match the ICD), but its IODC
+    read at 112:121 is the copy-paste bug — in MT33 the IODC follows
+    the BGTO block at bits 180:189.  We decode both correctly.
+  * MT34 carries SISAI + Clock: t_op(43:53), SISAI_ocb(54:58),
+    SISAI_oc1(59:61), SISAI_oc2(62:64) precede the clock block at 65.
+    The reference's "BDT-UTC" assignments in MT34 (every field reading
+    bits 123:133) are copy-paste garbage for fields MT34 does not
+    carry; BDT-UTC is a B-CNAV1 subframe-3 page-1 product (decoded in
+    parse_bcnav1_frame below).
+  * MT30 additionally carries T_GD_B2ap(122:133) and ISC_B2ad(134:145)
+    ahead of the iono block; the reference skips them.
 - The B2a eph struct never defines the B1C group delay the B2a satpos
   reads (T_GDB1Cp): here group delays default to 0.0 so the B2a PVT path
   is well-defined.
@@ -67,10 +78,16 @@ class Ephemeris:
     a_0: float = 0.0
     a_1: float = 0.0
     a_2: float = 0.0
-    # group delays (B1C subframe 2)
+    # group delays (B1C subframe 2 / B2a MT30)
     t_gd_b2ap: float = 0.0
     isc_b1cd: float = 0.0
     t_gd_b1cp: float = 0.0
+    isc_b2ad: float = 0.0
+    # SIS accuracy indices (B2a MT34)
+    t_op: float = 0.0
+    sisai_ocb: int = 0
+    sisai_oc1: int = 0
+    sisai_oc2: int = 0
     # iono (B1C page 1 / B2a MT30)
     alpha: tuple = (0.0,) * 9
     # health / integrity
@@ -258,8 +275,25 @@ def parse_bcnav2_message(bits: np.ndarray, eph: Ephemeris) -> Ephemeris:
         eph.a_0 = s(b, 54, 78) * 2.0**-34
         eph.a_1 = s(b, 79, 100) * 2.0**-50
         eph.a_2 = s(b, 101, 111) * 2.0**-66
-        eph.iodc = (u(b, 112, 113) << 8) | u(b, 114, 121)
+        if mtype == 33:
+            # Clock + BGTO (ICD-B2a-1.0): BGTO directly after a_2, IODC
+            # after the BGTO block.  The reference's IODC read at
+            # 112:121 (ephemeris.m:252-256) is its MT30 copy-paste bug;
+            # its BGTO ranges (ephemeris.m:258-264) are correct.
+            eph.gnss_id = u(b, 112, 114)
+            eph.wn_0_bgto = u(b, 115, 127)
+            eph.t_0_bgto = u(b, 128, 143) * 16.0
+            eph.a_0_bgto = s(b, 144, 159) * 2.0**-35
+            eph.a_1_bgto = s(b, 160, 172) * 2.0**-51
+            eph.a_2_bgto = s(b, 173, 179) * 2.0**-68
+            eph.iodc = (u(b, 180, 181) << 8) | u(b, 182, 189)
+        else:
+            eph.iodc = (u(b, 112, 113) << 8) | u(b, 114, 121)
         if mtype == 30:
+            # group delays ahead of the iono block (skipped by the
+            # reference, ephemeris.m:166-183)
+            eph.t_gd_b2ap = s(b, 122, 133) * 2.0**-34
+            eph.isc_b2ad = s(b, 134, 145) * 2.0**-34
             eph.alpha = (
                 u(b, 146, 155) * 2.0**-3,
                 s(b, 156, 163) * 2.0**-3,
@@ -272,7 +306,16 @@ def parse_bcnav2_message(bits: np.ndarray, eph: Ephemeris) -> Ephemeris:
                 s(b, 212, 219) * 2.0**-3,
             )
     elif mtype == 34:
+        # SISAI + Clock (ICD-B2a-1.0): a 22-bit SISAI block precedes
+        # the clock fields.  The reference decodes the clock/IODC at
+        # the right offsets but then assigns nine "BDT-UTC" fields all
+        # from bits 123:133 (ephemeris.m:280-289) — fields MT34 does
+        # not carry; they are not reproduced here.
         eph.id_valid.add(34)
+        eph.t_op = u(b, 43, 53) * 300
+        eph.sisai_ocb = u(b, 54, 58)
+        eph.sisai_oc1 = u(b, 59, 61)
+        eph.sisai_oc2 = u(b, 62, 64)
         eph.t_oc = u(b, 65, 75) * 300
         eph.a_0 = s(b, 76, 100) * 2.0**-34
         eph.a_1 = s(b, 101, 122) * 2.0**-50

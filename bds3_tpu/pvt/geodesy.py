@@ -7,6 +7,7 @@ cart2geo, findUtmZone, cart2utm, and check_t.  These run at fix rate
 """
 from __future__ import annotations
 
+import cmath
 import math
 
 import numpy as np
@@ -249,8 +250,118 @@ def geo2utm(lat_deg: float, lon_deg: float, zone: int):
     return easting, northing
 
 
-def cart2utm(x: float, y: float, z: float, zone: int):
-    """ECEF -> (E, N, U).  U is ellipsoidal height (see geo2utm note)."""
+def _clenshaw_sin(coef, arg: float) -> float:
+    """Clenshaw summation of sum_t coef[t-1]*sin(t*arg)
+    (role of `Common/clsin.m:16-26`)."""
+    hr1 = hr = 0.0
+    ca = 2.0 * math.cos(arg)
+    for c in reversed(coef):
+        hr, hr1 = c + ca * hr - hr1, hr
+    return hr * math.sin(arg)
+
+
+def _clenshaw_sin_c(coef, zarg: complex) -> complex:
+    """Clenshaw summation of sum_t coef[t-1]*sin(t*z) for complex z.
+
+    Same recurrence as `Common/clksin.m:16-42`, which unrolls the real
+    and imaginary parts by hand; native complex arithmetic is the
+    identical computation (cos/sin of x+iy expand to the cosh/sinh
+    products the reference carries explicitly)."""
+    h1 = h = 0j
+    ca = 2.0 * cmath.cos(zarg)
+    for c in reversed(coef):
+        h, h1 = c + ca * h - h1, h
+    return h * cmath.sin(zarg)
+
+
+def _gauss_krueger_coeffs(n: float):
+    """Ellipsoidal<->spherical trigonometric series in the third
+    flattening n (Koenig & Weise expansions; the polynomial forms the
+    reference carries only as comments, `Common/cart2utm.m:94-116` —
+    evaluated here instead of hard-coding their f=1/297 decimals)."""
+    bg = [
+        n * (-2 + n * (2 / 3 + n * (4 / 3 + n * (-82 / 45)))),
+        n**2 * (5 / 3 + n * (-16 / 15 + n * (-13 / 9))),
+        n**3 * (-26 / 15 + n * 34 / 21),
+        n**4 * 1237 / 630,
+    ]
+    gtu = [
+        n * (1 / 2 + n * (-2 / 3 + n * (5 / 16 + n * 41 / 180))),
+        n**2 * (13 / 48 + n * (-3 / 5 + n * 557 / 1440)),
+        n**3 * (61 / 240 + n * (-103 / 140)),
+        n**4 * 49561 / 161280,
+    ]
+    return bg, gtu
+
+
+def cart2utm_ed50(x: float, y: float, z: float, zone: int):
+    """ECEF (ITRF) -> UTM (E, N, U) on the ED50 datum / International
+    1924 ellipsoid — exact behavioral parity with the reference's
+    `Common/cart2utm.m:48-168` (Kai Borre's Andersson-Poder routine):
+    similarity transform to ED50, iterative geodetic conversion, then
+    Gauss-Krueger via Clenshaw-summed series.  E/N from this path match
+    the reference receiver's plotted coordinates; the WGS84 path below
+    differs from it by the (position-dependent, locally constant) datum
+    offset."""
+    a = 6378388.0
+    f = 1.0 / 297.0
+    ex2 = (2 - f) * f / ((1 - f) ** 2)
+    cc = a * math.sqrt(1 + ex2)
+
+    # ITRF -> ED50 similarity transform (cart2utm.m:54-61)
+    alpha = 0.756e-6
+    vx, vy, vz = x, y, z - 4.5
+    scale = 0.9999988
+    v0 = scale * (vx - alpha * vy) + 89.5
+    v1 = scale * (alpha * vx + vy) + 93.8
+    v2 = scale * vz + 127.6
+
+    lam = math.atan2(v1, v0)
+    p = math.hypot(v0, v1)
+    n1 = 6395000.0
+    b = math.atan2(v2 / ((1 - f) ** 2 * n1), p / n1)
+    u, old_u = 0.1, 0.0
+    while abs(u - old_u) > 1e-4:
+        old_u = u
+        n1 = cc / math.sqrt(1 + ex2 * math.cos(b) ** 2)
+        b = math.atan2(v2 / ((1 - f) ** 2 * n1 + u), p / (n1 + u))
+        u = p / math.cos(b) - n1
+
+    # normalized meridian quadrant (KW p.50)
+    m0 = 0.0004
+    n = f / (2 - f)
+    m = n**2 * (0.25 + n * n / 64)
+    q_n = a + (a * (-n - m0 + m * (1 - m0))) / (1 + n)
+
+    e0 = 500000.0
+    lon0 = math.radians((zone - 30) * 6 - 3)
+    bg, gtu = _gauss_krueger_coeffs(n)
+
+    b_abs = abs(b)
+    bg_r = b_abs + _clenshaw_sin(bg, 2 * b_abs)
+    lg_r = lam - lon0
+    cos_bn = math.cos(bg_r)
+    np_ = math.atan2(math.sin(bg_r), math.cos(lg_r) * cos_bn)
+    ep_ = math.atanh(math.sin(lg_r) * cos_bn)
+    d = _clenshaw_sin_c(gtu, 2 * (np_ + 1j * ep_))
+    np_ += d.real
+    ep_ += d.imag
+    north = q_n * np_
+    east = q_n * ep_ + e0
+    if b < 0:
+        north = -north + 20000000.0
+    return east, north, u
+
+
+def cart2utm(x: float, y: float, z: float, zone: int,
+             datum: str = "wgs84"):
+    """ECEF -> (E, N, U).  U is ellipsoidal height (see geo2utm note).
+
+    datum="wgs84" (default): direct WGS84 transverse-Mercator.
+    datum="ed50": the reference's historic ED50 path (`cart2utm.m`),
+    for E/N parity with the reference's navigation plots."""
+    if datum == "ed50":
+        return cart2utm_ed50(x, y, z, zone)
     lat, lon, h = cart2geo(x, y, z, 5)
     e, n = geo2utm(lat, lon, zone)
     return e, n, h

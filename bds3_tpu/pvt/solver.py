@@ -4,11 +4,15 @@ satellite positions -> least-squares fixes.
 Parity with `BDS-3_B2a/postNavigation.m` / `BDS-3_B1C/postNavigation.m`:
 requisite-message gating, >=4-satellite gate, measurement epochs every
 nav_sol_period between the channels' common tracked span, receiver-clock
-feedback into localTime, elevation masking (with the reference's known
-no-readmission behavior fixed: we re-evaluate elevations every epoch from
-the channel list that still passes the mask, as the reference does, but
-satellites are re-admitted when they rise because elevations of all ready
-channels keep being updated).
+feedback into localTime, elevation masking.
+
+Documented deviation from the reference: `postNavigation.m:293-297`
+updates elevations only for satellites in the current solution, so a
+satellite that once dips below the mask is excluded forever.  Here,
+after every successful fix the elevations of ALL decoded channels are
+recomputed from the fix position (satpos already ran for them), so a
+satellite is re-admitted when it rises back above the mask
+(tests/test_pvt_units.py::TestElevationReadmission).
 """
 from __future__ import annotations
 
@@ -19,7 +23,13 @@ import numpy as np
 from bds3_tpu.config import C_LIGHT, Settings, Signal
 from bds3_tpu.navmsg.bcnav1 import decode_bcnav1, pilot_prompt_stream
 from bds3_tpu.navmsg.bcnav2 import decode_bcnav2
-from bds3_tpu.pvt.geodesy import cart2geo, cart2utm, find_utm_zone
+from bds3_tpu.pvt.geodesy import (
+    cart2geo,
+    cart2utm,
+    e_r_corr,
+    find_utm_zone,
+    topocent,
+)
 from bds3_tpu.pvt.lsq import least_square_pos
 from bds3_tpu.pvt.pseudorange import transmit_times
 from bds3_tpu.pvt.satpos import satpos
@@ -104,17 +114,25 @@ def post_navigation(track, settings: Settings) -> NavSolutions | None:
         curr = int(sample_start + step * m)
         sol.meas_sample[m] = curr
 
-        tt = transmit_times(track, use, sub_frame_start, tow, curr, settings)
+        # transmit times + satellite positions for ALL decoded channels
+        # (not just the masked-in set): the below-mask ones are needed to
+        # re-evaluate their elevation for re-admission
+        tt = transmit_times(track, active, sub_frame_start, tow, curr,
+                            settings)
         if local_time == np.inf and tt:
-            local_time = max(tt.values()) + settings.start_offset_ms / 1000.0
+            local_time = max(tt[ch] for ch in use) \
+                + settings.start_offset_ms / 1000.0
         for ch in use:
             sol.raw_p[ch, m] = (local_time - tt[ch]) * C_LIGHT
 
-        eph_list = [ephs[int(track.prns[ch])] for ch in use]
+        eph_all = [ephs[int(track.prns[ch])] for ch in active]
         apply_tgd = settings.signal == Signal.B1C
-        sat_positions, sat_clk = satpos(
-            np.array([tt[ch] for ch in use]), eph_list, apply_tgd
+        sat_pos_all, sat_clk_all = satpos(
+            np.array([tt[ch] for ch in active]), eph_all, apply_tgd
         )
+        sel = [active.index(ch) for ch in use]
+        sat_positions = sat_pos_all[:, sel]
+        sat_clk = sat_clk_all[sel]
 
         if len(use) > 3:
             obs = sol.raw_p[use, m] + sat_clk * C_LIGHT
@@ -130,11 +148,26 @@ def post_navigation(track, settings: Settings) -> NavSolutions | None:
                 sol.el[ch, m] = el[j]
                 sol.az[ch, m] = az[j]
                 sat_elev[ch] = el[j]
+            # re-admission: recompute the elevation of channels currently
+            # below the mask from the fresh fix position, so a satellite
+            # that rises above the mask re-enters the solution next epoch
+            # (fixes postNavigation.m:293-297's permanent exclusion)
+            pos = xyzdt[:3]
+            for j, ch in enumerate(active):
+                if ch in use:
+                    continue
+                tau = np.linalg.norm(sat_pos_all[:, j] - pos) / C_LIGHT
+                sp = e_r_corr(tau, sat_pos_all[:, j])
+                az_j, el_j, _ = topocent(pos, sp - pos)
+                sat_elev[ch] = el_j
+                sol.el[ch, m] = el_j
+                sol.az[ch, m] = az_j
             lat, lon, h = cart2geo(sol.x[m], sol.y[m], sol.z[m], 5)
             sol.latitude[m], sol.longitude[m], sol.height[m] = lat, lon, h
             zone = find_utm_zone(lat, lon)
             sol.east[m], sol.north[m], sol.up[m] = cart2utm(
-                sol.x[m], sol.y[m], sol.z[m], zone
+                sol.x[m], sol.y[m], sol.z[m], zone,
+                datum=settings.utm_datum,
             )
         local_time += step / settings.sampling_freq
     return sol

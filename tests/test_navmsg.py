@@ -161,3 +161,65 @@ class TestBCNAV1Codec:
                 getattr(eph, name), abs=max(tol, 1e-18)), name
         assert got.t_gd_b1cp == pytest.approx(eph.t_gd_b1cp, abs=2**-34)
         assert got.prn == 19
+
+
+class TestBCNAV2MT33MT34:
+    """MT33 (Clock+BGTO) and MT34 (SISAI+Clock) decode per ICD-B2a-1.0 —
+    the reference's copy-paste-broken ranges (ephemeris.m:252-289) are
+    deliberately NOT reproduced; see ephemeris.py's deviation notes."""
+
+    def _eph33(self):
+        e = sample_eph()
+        e.gnss_id = 3
+        e.wn_0_bgto = 812
+        e.t_0_bgto = 345600.0 % (2**16 * 16)
+        e.a_0_bgto = 4.5e-9
+        e.a_1_bgto = -2.0e-13
+        e.a_2_bgto = 1.0e-19
+        return e
+
+    def test_mt33_roundtrip(self):
+        from bds3_tpu.navmsg.ephemeris import parse_bcnav2_message
+
+        e = self._eph33()
+        msg = build_bcnav2_message(e, 33, 3000.0)
+        assert crc24q_check(msg)
+        got = parse_bcnav2_message(msg[:264], Ephemeris())
+        assert 33 in got.id_valid
+        assert got.iodc == e.iodc          # IODC sits AFTER the BGTO block
+        assert got.gnss_id == 3
+        assert got.wn_0_bgto == 812
+        assert got.t_0_bgto == e.t_0_bgto
+        assert got.a_0_bgto == pytest.approx(e.a_0_bgto, abs=2**-35)
+        assert got.a_1_bgto == pytest.approx(e.a_1_bgto, abs=2**-51)
+        assert got.a_2_bgto == pytest.approx(e.a_2_bgto, abs=2**-68)
+        assert got.a_0 == pytest.approx(e.a_0, abs=2**-34)
+        assert got.t_oc == e.t_oc
+
+    def test_mt34_roundtrip(self):
+        from bds3_tpu.navmsg.ephemeris import parse_bcnav2_message
+
+        e = sample_eph()
+        e.t_op = 345300.0
+        e.sisai_ocb, e.sisai_oc1, e.sisai_oc2 = 21, 5, 3
+        msg = build_bcnav2_message(e, 34, 3003.0)
+        assert crc24q_check(msg)
+        got = parse_bcnav2_message(msg[:264], Ephemeris())
+        assert 34 in got.id_valid
+        assert got.t_op == e.t_op
+        assert (got.sisai_ocb, got.sisai_oc1, got.sisai_oc2) == (21, 5, 3)
+        assert got.t_oc == e.t_oc
+        assert got.a_0 == pytest.approx(e.a_0, abs=2**-34)
+        assert got.a_1 == pytest.approx(e.a_1, abs=2**-50)
+        assert got.iodc == e.iodc
+
+    def test_mt30_group_delays(self):
+        from bds3_tpu.navmsg.ephemeris import parse_bcnav2_message
+
+        e = sample_eph()
+        e.t_gd_b2ap = -6.2e-9
+        e.isc_b2ad = 1.1e-9
+        msg = build_bcnav2_message(e, 30, 3000.0)
+        got = parse_bcnav2_message(msg[:264], Ephemeris())
+        assert got.t_gd_b2ap == pytest.approx(e.t_gd_b2ap, abs=2**-34)
+        assert got.isc_b2ad == pytest.approx(e.isc_b2ad, abs=2**-34)
