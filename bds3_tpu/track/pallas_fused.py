@@ -55,7 +55,6 @@ from bds3_tpu.track.state import SPLIT, ChannelState
 ROWS, LANES = 32, 128        # stage-1 tile = (32, 128) = SPLIT samples
 START_GUARD = 16             # must match track.scan.START_GUARD
 CODE_PAD = 16                # must match track.scan.CODE_PAD
-BT = 256                     # boundary-tile size (chip boundaries per step)
 VMEM_BUDGET = 13 * 1024 * 1024
 
 
@@ -81,8 +80,6 @@ def _geometry(cfg) -> dict:
     # Mosaic overlap unrolled tiles, so liveness scales with the group)
     s2_default = "41" if cfg.n_win <= 300_000 else "8"
     s2_group = int(os.environ.get("FUSED_S2_GROUP", s2_default))
-    tk = _round_up(_round_up(kb, BT) // BT, s2_group)
-    kp = tk * BT
     inv0 = 1.0 / (cfg.step_base * m)    # samples per table entry, host f64
     inv0_int = int(np.floor(inv0))
     inv0_frac = float(inv0 - inv0_int)
@@ -130,14 +127,55 @@ def _geometry(cfg) -> dict:
     # row-select slice height: worst-case span of one boundary tile's rows
     # after flooring the start row to a multiple of `align` (slack
     # align*128-1), plus the early-late correlator offset spread
-    align = int(os.environ.get("FUSED_ROW_ALIGN", "8"))
+    # DEFER mode stores RAW mixed samples in p_scr, whose magnitude is
+    # int8-scale — bf16 keeps them to 2^-8 relative (correlator error
+    # ~1e-5 after accumulation), HALVES the prefix-scratch traffic and
+    # runs the stage-2 select matmuls at the MXU's native bf16 rate.
+    # Non-DEFER p_scr holds large prefix sums (cancellation-heavy), so
+    # it stays f32.  bf16 VMEM tiles are (16, 128), so the dynamic
+    # row-slice alignment rises to 16 (a wider slice of half-width
+    # rows: net fewer bytes and faster matmuls).
+    pscr_env = os.environ.get("FUSED_PSCR", "auto")
+    # Deferred-lane-prefix gate (see the r_scr note below).  Decided
+    # BEFORE the row spans from a conservative span bound (64 rows; the
+    # window rows r dominate rp) because the p_scr dtype feeds the
+    # slice alignment that the spans depend on.
+    defer_env = os.environ.get("FUSED_DEFER_LANE", "auto")
+    if defer_env == "auto":
+        defer = (r + 64) * 512 <= 1 << 20
+    else:
+        defer = defer_env == "1"
+    # measured (round 4): bf16 p_scr cuts stage-1 stores slightly but
+    # the bf16 select matmuls do NOT speed stage 2 (it is per-tile
+    # overhead-bound, not MXU-rate-bound) and the 16-row alignment
+    # grows the slice span — net ~2% slower.  Default f32.
+    pscr_bf16 = {"auto": False, "bf16": True, "f32": False}[pscr_env]
+    align = int(os.environ.get("FUSED_ROW_ALIGN", "0")) \
+        or (16 if pscr_bf16 else 8)
 
-    def row_span(m_, inv_):
-        span = (align * LANES - 1) + int(np.ceil((BT - 1) * inv_)) \
+    def row_span(m_, inv_, bt_):
+        span = (align * LANES - 1) + int(np.ceil((bt_ - 1) * inv_)) \
             + int(np.ceil(2.0 * cfg.spacing * m_ * inv_)) + 8
         return _round_up(span // LANES + 2, 8)
 
-    s_rows = row_span(m, inv0)
+    def pick_bt(m_, inv_, kb_, env_name):
+        """Per-geometry boundary-tile size (was a module constant, 256).
+
+        Hardware sweep (docs/PERF.md round 4, B2a 12ch full rate):
+        bt=256 and bt=128 run the full kernel at the same speed (the
+        smaller select-matmul row span S is cancelled by the 2x tile
+        count's fixed overhead) and bt=64 is ~2x SLOWER — stage 2 is
+        per-tile-overhead-bound, not MXU-span-bound.  Default stays
+        256; the knob remains for other geometries."""
+        env = os.environ.get(env_name)
+        if env:
+            return int(env)
+        return 256
+
+    bt = pick_bt(m, inv0, kb, "FUSED_BT")
+    tk = _round_up(_round_up(kb, bt) // bt, s2_group)
+    kp = tk * bt
+    s_rows = row_span(m, inv0, bt)
     # B1C wideband: a second boundary family for the BOC(6,1) pilot tap
     # (WB_tracking.m:348-381).  It reuses the SAME mixed-I/Q prefix from
     # stage 1 — only stage 2 runs again on the m=12 boundary grid, with
@@ -152,38 +190,49 @@ def _geometry(cfg) -> dict:
         # group size then has to divide it exactly (the group fori_loop
         # has no remainder pass), so pick the largest divisor <= the
         # data-path group
-        tk61 = _round_up(_round_up(kb61, BT) // BT, 8)
-        s2g61 = next(d for d in range(min(s2_group, tk61), 0, -1)
-                     if tk61 % d == 0)
-        kp61 = tk61 * BT
         inv61 = 1.0 / (cfg.step_base * m61)
         inv61_int = int(np.floor(inv61))
         inv61_frac = float(inv61 - inv61_int)
-        s61 = row_span(m61, inv61)
+        bt61 = pick_bt(m61, inv61, kb61, "FUSED_BT61")
+        tk61 = _round_up(_round_up(kb61, bt61) // bt61, 8)
+        s2g61 = next(d for d in range(min(s2_group, tk61), 0, -1)
+                     if tk61 % d == 0)
+        kp61 = tk61 * bt61
+        s61 = row_span(m61, inv61, bt61)
     else:
         m61 = lm61 = kb61 = tk61 = kp61 = inv61_int = 0
         inv61_frac = 0.0
         s61 = 0
         s2g61 = 1
-    rp = r + max(s_rows, s61)           # scratch rows (slice stays in range)
-    # Deferred-lane-prefix mode: stage 1 stores RAW mixed tiles + per-row
-    # exclusive offsets (r_scr) instead of full per-sample prefixes, and
-    # stage 2's lane select becomes a strict `<` mask matmul (the lane
-    # prefix is folded into the select contraction) plus a row-offset
-    # broadcast add.  Removes the big lexc matmul from stage 1 at +1 VPU
-    # op per stage-2 tile.  r_scr is lane-padded to 128 by Mosaic
-    # (rp*512 B) — cheap for B2a-scale windows, ~4 MB for B1C, hence the
-    # size gate.
-    defer_env = os.environ.get("FUSED_DEFER_LANE", "auto")
-    if defer_env == "auto":
-        defer = rp * 512 <= 1 << 20
-    else:
-        defer = defer_env == "1"
+        bt61 = 8    # dummy-ring tile width (kernel never touches it)
+    # scratch rows (slice stays in range); multiple of the p_scr sublane
+    # tile (16 for bf16) so the tail store shape stays tile-friendly.
+    # Deferred-lane-prefix mode (gate above): stage 1 stores RAW mixed
+    # tiles + per-row exclusive offsets (r_scr) instead of full
+    # per-sample prefixes, and stage 2's lane select becomes a strict
+    # `<` mask matmul (the lane prefix is folded into the select
+    # contraction) plus a row-offset broadcast add.  Removes the big
+    # lexc matmul from stage 1 at +1 VPU op per stage-2 tile.  r_scr is
+    # lane-padded to 128 by Mosaic (rp*512 B) — cheap for B2a-scale
+    # windows, ~4 MB for B1C, hence the size gate.
+    rp = r + _round_up(max(s_rows, s61), 16 if pscr_bf16 else 8)
+    # Channel-pair software pipelining: with TWO ping-pong prefix
+    # scratches (channel c uses buffer c%2) consecutive channels have
+    # no data hazard, so an unroll-2 channel loop lets Mosaic overlap
+    # channel c's MXU-heavy stage 2 with channel c+1's VPU-heavy
+    # stage 1.  Gated on the doubled scratch fitting a 4 MB slice of
+    # the VMEM budget (B2a-scale yes, full-rate B1C no).
+    pp_env = os.environ.get("FUSED_PP", "auto")
+    scratch_b = rp * 256 * (2 if pscr_bf16 else 4) \
+        + (rp * 64 if defer else 0)
+    pp = 2 if (pp_env == "auto" and 2 * scratch_b <= 4 << 20) \
+        else (int(pp_env) if pp_env != "auto" else 1)
     return dict(m=m, lm=lm, kb=kb, kp=kp, TK=tk, S2_GROUP=s2_group,
-                inv0_int=inv0_int, S1R=s1r,
+                inv0_int=inv0_int, S1R=s1r, BT=bt, BT61=bt61,
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
                 T=n_win // (s1r * LANES), half_grid=half_grid,
-                n_ramps=n_ramps, DEFER=defer,
+                n_ramps=n_ramps, DEFER=defer, PSCR_BF16=pscr_bf16,
+                ALIGN=align, PP=pp,
                 m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
                 S2G61=s2g61,
                 inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
@@ -202,8 +251,10 @@ def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
     # complex input rides the ring as two f32 planes
     win_b = 8 if cfg.complex_input else win_bytes
     n_planes = 4 if geo["half_grid"] else 2
-    vmem = (geo["RP"] * 256 * 4                       # prefix scratch
-            + (geo["RP"] * 512 if geo["DEFER"] else 0)  # row-offset scratch
+    pscr_b = 2 if geo["PSCR_BF16"] else 4
+    vmem = (geo["PP"] * geo["RP"] * 256 * pscr_b      # prefix scratch
+            + (geo["PP"] * geo["RP"] * 512
+               if geo["DEFER"] else 0)                # row-offset scratch
             + 2 * geo["n_win"] * win_b                # window ring (depth 2)
             + n_channels * n_planes * geo["kp"] * 4   # dcode tables
             + 2 * geo["kp61"] * 4                     # BOC(6,1) weight ring
@@ -211,13 +262,13 @@ def fused_supported(cfg, n_channels: int = 12, win_bytes: int = 1) -> bool:
     return vmem <= VMEM_BUDGET
 
 
-def _boundary_tile_tables(tk: int, inv_frac: float) \
+def _boundary_tile_tables(tk: int, inv_frac: float, bt: int) \
         -> tuple[np.ndarray, np.ndarray]:
     """Host-f64 split of (k_i * inv_frac) at each boundary tile start:
     g(k) = tb_frac[kt] + u*inv_frac reproduces scan.py's k_f*inv_frac
-    ramp with per-tile rebasing (k_i = kt*BT + u - CODE_PAD)."""
+    ramp with per-tile rebasing (k_i = kt*bt + u - CODE_PAD)."""
     kt = np.arange(max(tk, 1), dtype=np.float64)
-    val = (kt * BT - CODE_PAD) * inv_frac
+    val = (kt * bt - CODE_PAD) * inv_frac
     tb_int = np.floor(val).astype(np.int32)
     tb_frac = (val - np.floor(val)).astype(np.float32)
     return tb_int, tb_frac
@@ -252,12 +303,14 @@ def _out_slots(cfg) -> list[str]:
 def _make_kernel(cfg, geo, n_channels, nrows_b2):
     NROWS_B2 = nrows_b2
     C = n_channels
+    BT, BT61 = geo["BT"], geo["BT61"]
     T, TK, R, S, RP = geo["T"], geo["TK"], geo["R"], geo["S"], geo["RP"]
     S2G = geo["S2_GROUP"]
     HALF = geo["half_grid"]
     NR = geo["n_ramps"]
     W_TOTAL = cfg.epochs_per_block
-    ROW_ALIGN = int(os.environ.get("FUSED_ROW_ALIGN", "8"))
+    ROW_ALIGN = geo["ALIGN"]
+    PDT = jnp.bfloat16 if geo["PSCR_BF16"] else jnp.float32
     m = geo["m"]
     inv0_int = geo["inv0_int"]
     inv0_frac_f = np.float32(geo["inv0_frac"])
@@ -307,6 +360,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
     R_WIN = geo["n_win"] // LANES
     DEFER = geo["DEFER"]
+    PP = geo["PP"]
 
     S1R = geo["S1R"]                 # stage-1 rows per loop step
     STEP = S1R * LANES               # stage-1 samples per loop step
@@ -380,18 +434,20 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
         # prefix() constants: ones column-block for row totals, block
         # strict-lower-triangular (per I/Q half) for exclusive row offsets
         ones8 = jnp.ones((LANES, 8), jnp.float32)
-        rr2 = jax.lax.broadcasted_iota(jnp.int32, (2 * S1R, 2 * S1R), 0)
-        cc2 = jax.lax.broadcasted_iota(jnp.int32, (2 * S1R, 2 * S1R), 1)
-        trib = (((rr2 // S1R) == (cc2 // S1R)) & (cc2 < rr2)
-                ).astype(jnp.float32)
+        rr1 = jax.lax.broadcasted_iota(jnp.int32, (S1R, S1R), 0)
+        cc1 = jax.lax.broadcasted_iota(jnp.int32, (S1R, S1R), 1)
+        tril = (cc1 < rr1).astype(jnp.float32)
         u_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
         u_f = u_i.astype(jnp.float32)
         iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (S, NR * BT), 0)
         iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, NR * BT), 0)
         iota_o = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         if WB:
-            iota_s61 = jax.lax.broadcasted_iota(jnp.int32, (S61, 3 * BT), 0)
-            iota_l61 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 3 * BT), 0)
+            u61_i = jax.lax.broadcasted_iota(jnp.int32, (1, BT61), 1)
+            u61_f = u61_i.astype(jnp.float32)
+            iota_s61 = jax.lax.broadcasted_iota(jnp.int32, (S61, 3 * BT61), 0)
+            iota_l61 = jax.lax.broadcasted_iota(
+                jnp.int32, (LANES, 3 * BT61), 0)
 
         @pl.when(w == 0)
         def _():
@@ -408,7 +464,10 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 if N_SEQ > 1:
                     p61_dma_n(jnp.int32(1)).start()
 
-        def one_channel(c, _):
+        def one_channel(c, _, pbuf=0):
+            # pbuf: ping-pong prefix-scratch buffer (see _geometry's PP
+            # note) — a STATIC python int (the pair loop passes ui), so
+            # every p_scr/r_scr access keeps a static leading index
             n_seq = w * C + c
             win_dma_n(n_seq).wait()
             if WB:
@@ -547,31 +606,44 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 # totals come from a ones-column matmul (a narrow
                 # `lexc[:, 127:]` lane slice lowered to slow lane
                 # shuffles) and the exclusive row-offset prefix from a
-                # block strict-lower-triangular matmul (the previous
-                # (S1R,1) sublane log-roll pass cost ~1 us/step).
+                # strict-lower-triangular matmul (the previous (S1R,1)
+                # sublane log-roll pass cost ~1 us/step).  I and Q run
+                # as separate (S1R, .) chains — the former
+                # concatenate([ib, qb]) built a 256 KB VPU copy per
+                # step for no MXU benefit (the block-diagonal trib was
+                # two independent triangular matmuls anyway).
                 # Carries are lane-replicated (1, 128) rows — a traced
                 # scalar carry forces a vector->scalar sync per step.
                 # DEFER mode returns the RAW mixed tiles plus per-row
                 # exclusive offsets (rofs rows) — the lane-level prefix
                 # is folded into stage 2's select matmul.
                 ci2, cq2 = cin
-                xiq = jnp.concatenate([ib, qb], axis=0)   # (2*S1R, 128)
-                rtot8 = jnp.dot(xiq, ones8,
+                rtot_i = jnp.dot(ib, ones8,
+                                 preferred_element_type=jnp.float32)
+                rtot_q = jnp.dot(qb, ones8,
+                                 preferred_element_type=jnp.float32)
+                # one K=256 triangular matmul for BOTH I and Q (these
+                # narrow-N matmuls are K-latency-bound, so halving
+                # their count beats their tiny-N utilization)
+                rt2 = jnp.concatenate([rtot_i, rtot_q], axis=1)  # (S1R, 16)
+                rofs2 = jnp.dot(tril, rt2,
                                 preferred_element_type=jnp.float32)
-                rofs8 = jnp.dot(trib, rtot8,
-                                preferred_element_type=jnp.float32)
-                incl8 = rofs8 + rtot8                     # (2*S1R, 8)
+                rofs_i = rofs2[:, 0:8]
+                rofs_q = rofs2[:, 8:16]
                 zl = jnp.zeros((1, LANES), jnp.float32)
-                ti = incl8[S1R - 1:S1R, 0:1] + zl         # (1, 128)
-                tq = incl8[2 * S1R - 1:2 * S1R, 0:1] + zl
+                ti = (rofs_i[S1R - 1:S1R, 0:1]
+                      + rtot_i[S1R - 1:S1R, 0:1]) + zl    # (1, 128)
+                tq = (rofs_q[S1R - 1:S1R, 0:1]
+                      + rtot_q[S1R - 1:S1R, 0:1]) + zl
                 if DEFER:
                     return (ib, qb,
-                            rofs8[0:S1R] + ci2[:, 0:8],
-                            rofs8[S1R:] + cq2[:, 0:8],
+                            rofs_i + ci2[:, 0:8],
+                            rofs_q + cq2[:, 0:8],
                             ci2 + ti, cq2 + tq)
-                lexc = dot_fast(xiq, utri)
-                return (lexc[0:S1R] + (rofs8[0:S1R, 0:1] + ci2),
-                        lexc[S1R:] + (rofs8[S1R:, 0:1] + cq2),
+                lexc_i = dot_fast(ib, utri)
+                lexc_q = dot_fast(qb, utri)
+                return (lexc_i + (rofs_i[:, 0:1] + ci2),
+                        lexc_q + (rofs_q[:, 0:1] + cq2),
                         None, None, ci2 + ti, cq2 + tq)
 
             def s1_inputs(t):
@@ -601,11 +673,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     tile_i, tile_q, ri_r, rq_r, ci_n, cq_n = \
                         prefix(cin, ib, qb)
                 if bisect != "s1nostore":
-                    p_scr[pl.ds(t * S1R, S1R), 0:128] = tile_i
-                    p_scr[pl.ds(t * S1R, S1R), 128:256] = tile_q
+                    p_scr[pbuf, pl.ds(t * S1R, S1R), 0:128] = \
+                        tile_i.astype(PDT)
+                    p_scr[pbuf, pl.ds(t * S1R, S1R), 128:256] = \
+                        tile_q.astype(PDT)
                     if DEFER and ri_r is not None:
-                        r_scr[pl.ds(t * S1R, S1R), 0:8] = ri_r
-                        r_scr[pl.ds(t * S1R, S1R), 8:16] = rq_r
+                        r_scr[pbuf, pl.ds(t * S1R, S1R), 0:8] = ri_r
+                        r_scr[pbuf, pl.ds(t * S1R, S1R), 8:16] = rq_r
                 return ci_n, cq_n
 
             def stage1(t, carry):
@@ -638,17 +712,17 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             # DEFER: tail raw samples are zero and the row offsets carry
             # the block totals, so P[j >= n_win] = total exactly.
             if DEFER:
-                p_scr[pl.ds(R, RP - R), :] = jnp.zeros((RP - R, 256),
-                                                       jnp.float32)
-                r_scr[pl.ds(R, RP - R), 0:8] = jnp.broadcast_to(
+                p_scr[pbuf, pl.ds(R, RP - R), :] = jnp.zeros(
+                    (RP - R, 256), PDT)
+                r_scr[pbuf, pl.ds(R, RP - R), 0:8] = jnp.broadcast_to(
                     tot_i[:, 0:8], (RP - R, 8))
-                r_scr[pl.ds(R, RP - R), 8:16] = jnp.broadcast_to(
+                r_scr[pbuf, pl.ds(R, RP - R), 8:16] = jnp.broadcast_to(
                     tot_q[:, 0:8], (RP - R, 8))
             else:
-                p_scr[pl.ds(R, RP - R), 0:128] = jnp.broadcast_to(
-                    tot_i, (RP - R, 128))
-                p_scr[pl.ds(R, RP - R), 128:256] = jnp.broadcast_to(
-                    tot_q, (RP - R, 128))
+                p_scr[pbuf, pl.ds(R, RP - R), 0:128] = jnp.broadcast_to(
+                    tot_i, (RP - R, 128)).astype(PDT)
+                p_scr[pbuf, pl.ds(R, RP - R), 128:256] = jnp.broadcast_to(
+                    tot_q, (RP - R, 128)).astype(PDT)
 
             # stage 1 was this sequence's last read of its window buffer;
             # start refilling it with sequence n+2's window (the VPU loads
@@ -661,6 +735,12 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             smm = sbm + d_step * m
             inv = 1.0 / smm
             dinv = inv - jnp.float32(inv0_int) - inv0_frac_f
+            # per-channel hoists: g(kt, u) = g0(kt) + u*(inv0_frac+dinv)
+            # — the u-ramp factor is tile-independent, so the per-tile
+            # vector chain shrinks to add/floor/add/add (the rest rides
+            # the scalar unit)
+            u_fr = u_f * (inv0_frac_f + dinv)             # (1, BT)
+            u_int = u_i * inv0_int                        # static
 
             # one iteration = one BT-boundary tile x NR ramps batched as
             # NR*BT one-hot columns through one matmul.  3-ramp mode: one
@@ -672,7 +752,6 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             def stage2(kt, acc):
                 ki0 = kt * BT - CODE_PAD
                 ki0_f = ki0.astype(jnp.float32)
-                ki_f = ki0_f + u_f
                 tbf = tbfrac_s[kt]
                 tbi = tbint_s[kt]
                 jbase = ki0 * inv0_int + tbi + 1 + off
@@ -681,10 +760,10 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 for r_off in ramp_offs:
                     base = rem_code + r_off
                     bmi = (base * m) * inv
-                    g0 = tbf + ki0_f * dinv - bmi
+                    g0 = tbf + ki0_f * dinv - bmi          # scalar
                     j0s.append(jbase + jnp.floor(g0).astype(jnp.int32))
-                    g = tbf + u_f * inv0_frac_f + ki_f * dinv - bmi
-                    j_parts.append(jbase + u_i * inv0_int
+                    g = g0 + u_fr
+                    j_parts.append((u_int + jbase)
                                    + jnp.floor(g).astype(jnp.int32))
                 j0 = jnp.clip(jnp.minimum(j0s[0], j0s[-1]), 0, n_win)
                 if ROW_ALIGN > 1:
@@ -705,17 +784,36 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 # lane prefix and the per-row exclusive offsets (r_scr)
                 # are broadcast-added before the row reduce.
                 sel = (iota_l3 < lane) if DEFER else (iota_l3 == lane)
-                lane_oh = sel.astype(jnp.float32)        # (128, NR*BT)
-                sl = p_scr[pl.ds(q0a, S), :]                     # (S, 256)
-                tmp_i = dot_fast(sl[:, 0:128], lane_oh)
-                tmp_q = dot_fast(sl[:, 128:256], lane_oh)
-                row_m = (iota_s3 == row_rel).astype(jnp.float32)  # (S, NR*BT)
-                if DEFER:
-                    rof = r_scr[pl.ds(q0a, S), :]                # (S, 16)
-                    tmp_i = tmp_i + rof[:, 0:1]
-                    tmp_q = tmp_q + rof[:, 8:9]
-                vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
-                vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
+                lane_oh = sel.astype(PDT)                # (128, NR*BT)
+                if bisect == "s2idxonly":
+                    # bisect probe: index math + weight accumulate only
+                    vi = row_rel.astype(jnp.float32) + lane.astype(
+                        jnp.float32)
+                    vq = vi + 1.0
+                else:
+                    sl = p_scr[pbuf, pl.ds(q0a, S), :]           # (S, 256)
+                    if bisect == "s2nosel":
+                        # bisect probe: skip the two select matmuls
+                        tmp_i = jnp.broadcast_to(sl[:, 0:1],
+                                                 (S, NR * BT)) * 1.0
+                        tmp_q = jnp.broadcast_to(sl[:, 128:129],
+                                                 (S, NR * BT)) * 1.0
+                    else:
+                        tmp_i = dot_fast(sl[:, 0:128], lane_oh)
+                        tmp_q = dot_fast(sl[:, 128:256], lane_oh)
+                    if DEFER:
+                        rof = r_scr[pbuf, pl.ds(q0a, S), :]      # (S, 16)
+                        tmp_i = tmp_i + rof[:, 0:1]
+                        tmp_q = tmp_q + rof[:, 8:9]
+                    if bisect == "s2norowm":
+                        # bisect probe: skip the row compare+mask
+                        vi = jnp.sum(tmp_i, axis=0, keepdims=True)
+                        vq = jnp.sum(tmp_q, axis=0, keepdims=True)
+                    else:
+                        row_m = (iota_s3 == row_rel).astype(
+                            jnp.float32)                     # (S, NR*BT)
+                        vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
+                        vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
                 wd = dcode_ref[c, 0, pl.ds(kt, 1), :]           # (1, BT)
                 if use_pilot:
@@ -784,11 +882,12 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                 inv61 = 1.0 / smm61
                 dinv61 = inv61 - jnp.float32(inv61_int) - inv61_frac_f
                 ring61 = jax.lax.rem(n_seq, 2)
+                u61_fr = u61_f * (inv61_frac_f + dinv61)   # (1, BT61)
+                u61_int = u61_i * inv61_int                # static
 
                 def stage2_61(kt, acc61):
-                    ki0 = kt * BT - CODE_PAD
+                    ki0 = kt * BT61 - CODE_PAD
                     ki0_f = ki0.astype(jnp.float32)
-                    ki_f = ki0_f + u_f
                     tbf = tb61frac_s[kt]
                     tbi = tb61int_s[kt]
                     jbase = ki0 * inv61_int + tbi + 1 + off
@@ -797,10 +896,10 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     for r_off in (-spc, 0.0, spc):
                         base = rem_code + r_off
                         bmi = (base * m61) * inv61
-                        g0 = tbf + ki0_f * dinv61 - bmi
+                        g0 = tbf + ki0_f * dinv61 - bmi    # scalar
                         j0s.append(jbase + jnp.floor(g0).astype(jnp.int32))
-                        g = tbf + u_f * inv61_frac_f + ki_f * dinv61 - bmi
-                        j_parts.append(jbase + u_i * inv61_int
+                        g = g0 + u61_fr
+                        j_parts.append((u61_int + jbase)
                                        + jnp.floor(g).astype(jnp.int32))
                     j0 = jnp.clip(jnp.minimum(j0s[0], j0s[-1]), 0, n_win)
                     if ROW_ALIGN > 1:
@@ -814,22 +913,22 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
 
                     sel61 = ((iota_l61 < lane) if DEFER
                              else (iota_l61 == lane))
-                    lane_oh = sel61.astype(jnp.float32)
-                    sl = p_scr[pl.ds(q0a, S61), :]             # (S61, 256)
+                    lane_oh = sel61.astype(PDT)
+                    sl = p_scr[pbuf, pl.ds(q0a, S61), :]       # (S61, 256)
                     tmp_i = dot_fast(sl[:, 0:128], lane_oh)
                     tmp_q = dot_fast(sl[:, 128:256], lane_oh)
                     row_m = (iota_s61 == row_rel).astype(jnp.float32)
                     if DEFER:
-                        rof = r_scr[pl.ds(q0a, S61), :]        # (S61, 16)
+                        rof = r_scr[pbuf, pl.ds(q0a, S61), :]  # (S61, 16)
                         tmp_i = tmp_i + rof[:, 0:1]
                         tmp_q = tmp_q + rof[:, 8:9]
                     vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                     vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
-                    w61 = p61_scr[ring61, pl.ds(kt, 1), :]     # (1, BT)
+                    w61 = p61_scr[ring61, pl.ds(kt, 1), :]     # (1, BT61)
                     cont = []
                     for d_idx in range(3):
-                        seg = slice(d_idx * BT, (d_idx + 1) * BT)
+                        seg = slice(d_idx * BT61, (d_idx + 1) * BT61)
                         cont += [w61 * vi[:, seg], w61 * vq[:, seg]]
                     return tuple(a + cn for a, cn in zip(acc61, cont))
 
@@ -839,9 +938,10 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     return acc61
 
                 n_s61 = 0 if skip_s2 else TK61
+                zv61 = jnp.zeros((1, BT61), jnp.float32)
                 acc61 = jax.lax.fori_loop(
                     0, n_s61 // S2G61, stage2_61_group,
-                    tuple(zv for _ in range(6)), unroll=1)
+                    tuple(zv61 for _ in range(6)), unroll=1)
                 for t_i in range(3):
                     o[f"p61_i{tapn[t_i]}"] = jnp.sum(acc61[t_i * 2 + 0])
                     o[f"p61_q{tapn[t_i]}"] = jnp.sum(acc61[t_i * 2 + 1])
@@ -938,8 +1038,23 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
             out_ref[0, c] = jnp.broadcast_to(row, (8, LANES))
             return 0
 
-        jax.lax.fori_loop(0, C, one_channel, 0,
-                          unroll=os.environ.get("FUSED_UNROLL_CH") == "1")
+        # Channel-pair manual unroll (Mosaic's fori_loop supports only
+        # unroll=1 or full): when ping-pong scratches remove the p_scr
+        # hazard, tracing PP channels per iteration lets Mosaic overlap
+        # channel c's MXU-heavy stage 2 with channel c+1's VPU-heavy
+        # stage 1.
+        full_unroll = os.environ.get("FUSED_UNROLL_CH") == "1"
+        if full_unroll:
+            jax.lax.fori_loop(0, C, one_channel, 0, unroll=True)
+        elif PP > 1 and C % PP == 0:
+            def channel_group(g, _):
+                for ui in range(PP):
+                    one_channel(g * PP + ui, 0, pbuf=ui)
+                return 0
+
+            jax.lax.fori_loop(0, C // PP, channel_group, 0, unroll=1)
+        else:
+            jax.lax.fori_loop(0, C, one_channel, 0, unroll=1)
 
     return kernel
 
@@ -967,9 +1082,11 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
 
     C = data_tables.shape[0]
     W = cfg.epochs_per_block
-    tb_int, tb_frac = _boundary_tile_tables(geo["TK"], geo["inv0_frac"])
+    tb_int, tb_frac = _boundary_tile_tables(geo["TK"], geo["inv0_frac"],
+                                            geo["BT"])
     tb61_int, tb61_frac = _boundary_tile_tables(geo["TK61"],
-                                                geo["inv61_frac"])
+                                                geo["inv61_frac"],
+                                                geo["BT61"])
 
     # Abel-summation weights: w_v = ext_{v-1} - ext_v over the padded
     # chip table (zeros outside), padded to TK*BT boundary slots.
@@ -987,11 +1104,11 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
           else jnp.zeros((C, geo["kp"]), jnp.float32))
     if geo["m61"]:
         w61 = dcode_of(pilot61_tables, geo["kb61"], geo["kp61"]).reshape(
-            C, geo["TK61"], BT)
+            C, geo["TK61"], geo["BT61"])
     else:
         # 1-tile dummies keep the kernel signature uniform; the non-WB
         # kernel never touches them
-        w61 = jnp.zeros((C, 1, BT), jnp.float32)
+        w61 = jnp.zeros((C, 1, geo["BT61"]), jnp.float32)
     planes = [wd, wp]
     if geo["half_grid"]:
         # late-tap weights shifted one slot (w_shift[b] = w[b+1]); the
@@ -999,7 +1116,8 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
         shift1 = lambda w: jnp.pad(w[:, 1:], ((0, 0), (0, 1)))
         planes += [shift1(wd), shift1(wp)]
     n_planes = len(planes)
-    dcode = jnp.stack(planes, axis=1).reshape(C, n_planes, geo["TK"], BT)
+    dcode = jnp.stack(planes, axis=1).reshape(C, n_planes, geo["TK"],
+                                              geo["BT"])
 
     cursor0 = jnp.asarray(state.cursor, jnp.int32)
     adv_int = jnp.asarray(consts.adv_int, jnp.int32)
@@ -1059,7 +1177,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pl.BlockSpec(memory_space=pltpu.SMEM),        # statef (C, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # cursor (C,)
             pl.BlockSpec(memory_space=pltpu.HBM),         # raw block rows
-            pl.BlockSpec((C, n_planes, geo["TK"], BT),
+            pl.BlockSpec((C, n_planes, geo["TK"], geo["BT"]),
                          lambda wi: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # dcode
             pl.BlockSpec(memory_space=pltpu.HBM),         # p61 weights
@@ -1075,8 +1193,9 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             jax.ShapeDtypeStruct((C,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((geo["RP"], 256), jnp.float32),
-            pltpu.VMEM((geo["RP"] if geo["DEFER"] else 8, 16),
+            pltpu.VMEM((geo["PP"], geo["RP"], 256),
+                       jnp.bfloat16 if geo["PSCR_BF16"] else jnp.float32),
+            pltpu.VMEM((geo["PP"], geo["RP"] if geo["DEFER"] else 8, 16),
                        jnp.float32),                       # row offsets
             pltpu.SMEM((C, 10), jnp.float32),
             pltpu.SMEM((C, 2), jnp.int32),
@@ -1084,7 +1203,7 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
              if cfg.complex_input else
              pltpu.VMEM((2, r_win, LANES), b2.dtype)),    # window ring
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, max(geo["TK61"], 1), BT),
+            pltpu.VMEM((2, max(geo["TK61"], 1), geo["BT61"]),
                        jnp.float32),                      # p61 weight ring
             pltpu.SemaphoreType.DMA((2,)),
         ],

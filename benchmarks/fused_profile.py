@@ -42,20 +42,20 @@ def setup():
         for i in range(C)
     ]
     consts = channel_consts(cfg, inits, s)
-    data_t, p11_t, _ = channel_code_tables(cfg, inits)
+    data_t, p11_t, p61_t = channel_code_tables(cfg, inits)
     cursors = np.array([c.code_phase for c in inits])
     state = initial_state(cfg, inits, consts, cursors)
     n_block = int(cursors.max()) + W * (cfg.q0_int + 3) + cfg.n_max
     rng = np.random.default_rng(0)
     block = jnp.asarray(rng.integers(-30, 30, n_block).astype(np.int8))
-    return cfg, block, data_t, p11_t, consts, state
+    return cfg, block, data_t, p11_t, p61_t, consts, state
 
 
 def main():
     from bds3_tpu.track.pallas_fused import fused_track_block
 
     print("device:", jax.devices()[0])
-    cfg, block, data_t, p11_t, consts, state = setup()
+    cfg, block, data_t, p11_t, p61_t, consts, state = setup()
     print(f"W={W} C={C} n_win={cfg.n_win} q0={cfg.q0_int}")
 
     def run_chain(fn, reps, state):
@@ -77,6 +77,7 @@ def main():
     for mode in sys.argv[1:] or ["full", "nostage1", "nostage2"]:
         os.environ["FUSED_BISECT"] = mode
         fn = jax.jit(functools.partial(fused_track_block, cfg,
+                                       pilot61_tables=p61_t,
                                        interpret=False))
         t0 = time.time()
         run_chain(fn, 1, state)
