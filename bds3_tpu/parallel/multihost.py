@@ -9,14 +9,24 @@ virtual mesh (parallel/timeshard.py).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize jax.distributed (no-op if already initialized or single
-    process).  Arguments default to the JAX_* environment variables set by
-    the launcher."""
+    process).  Arguments default to the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID environment variables set by
+    tools/launch_multihost.py (read explicitly — this jax version's
+    initialize() does not consume them itself); on Cloud TPU pod VMs all
+    three stay None and the runtime self-discovers."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,

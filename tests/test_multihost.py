@@ -136,3 +136,41 @@ class TestMultiProcess:
         for k in ("d_ip", "d_qp", "carr_err", "code_err", "blksize"):
             np.testing.assert_allclose(
                 got[k], ref[k], rtol=1e-6, atol=1e-4, err_msg=k)
+
+
+class TestLauncher:
+    def test_local_backend_rendezvous(self, tmp_path):
+        """tools/launch_multihost.py local: env-var plumbing must let an
+        argument-free multihost.initialize() rendezvous a 2-process
+        global mesh (the same contract slurm/tpu-pod backends rely
+        on)."""
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from launch_multihost import launch_local
+
+        prog = (
+            "import os, jax, sys\n"
+            "sys.path.insert(0, os.environ['BDS3_REPO'])\n"
+            "from bds3_tpu.parallel.multihost import initialize, "
+            "global_channel_mesh\n"
+            "initialize()\n"
+            "mesh = global_channel_mesh()\n"
+            "assert mesh.devices.size == 4, mesh.devices\n"
+            "open(os.path.join(os.environ['MH_OUT'], "
+            "f\"rank{jax.process_index()}\"), 'w').write('ok')\n"
+        )
+        rc = launch_local(
+            2, [sys.executable, "-c", prog], local_devices=2,
+            env_extra={"BDS3_REPO": REPO, "MH_OUT": str(tmp_path),
+                       "PALLAS_AXON_POOL_IPS": ""})
+        assert rc == 0
+        assert (tmp_path / "rank0").exists() and (tmp_path / "rank1").exists()
+
+    def test_slurm_and_pod_emission(self):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from launch_multihost import emit_slurm, emit_tpu_pod
+
+        script = emit_slurm(4, ["python", "run.py"])
+        assert "--nodes=4" in script
+        assert "JAX_PROCESS_ID" in script and "SLURM_PROCID" in script
+        gcmd = emit_tpu_pod("pod1", "us-central2-b", ["python", "run.py"])
+        assert "--worker=all" in gcmd
