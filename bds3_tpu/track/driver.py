@@ -153,6 +153,7 @@ def track(
     correlator: str = "auto",
     download: bool = True,
     sync_each_block: bool = False,
+    deadline_s: float | None = None,
 ) -> TrackResults:
     """Track all channels for n_epochs integration periods.
 
@@ -170,7 +171,15 @@ def track(
     when streaming multi-GB captures through a buffering transport
     (the dev relay queues unsynced uploads; ~8 GB of staging on the
     49 s capture).  Costs pipelining, so leave False unless IO-bound.
+    deadline_s: wall-clock budget for the block loop; when exceeded the
+    run returns the epochs tracked so far (partial results, same as a
+    short read).  Only effective with sync_each_block=True (async
+    dispatch otherwise outruns the clock) — IO-throttled streaming
+    links can stall a fixed-epoch run far past any schedule.
     """
+    import time as _time
+
+    _t0 = _time.time()
     import jax
 
     complex_input = np.iscomplexobj(signal)
@@ -310,6 +319,8 @@ def track(
             state = new_state._replace(cursor=new_state.cursor - shift)
             if sync_each_block:
                 jax.block_until_ready(state.cursor)
+            if deadline_s is not None and _time.time() - _t0 > deadline_s:
+                break
         stacked_dev = jnp.concatenate(out_chunks, axis=1)
 
     # stacked_dev: (F, E, C)

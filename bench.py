@@ -1,21 +1,29 @@
 """Official benchmark harness (BASELINE.md configs) on the real TPU.
 
-Prints ONE JSON line to stdout: the headline metric (12-channel B2a
-closed-loop tracking real-time factor at the reference dataset rate,
-99.375 Msps — BASELINE config 3) plus a `detail` dict carrying the other
-measured configs and the execution evidence the round-1 verdict demanded:
-backend, device kind, chosen correlator per stage, compile seconds, and
-per-pass wall times.  If the fused Pallas kernel cannot be engaged the
-run still completes on the fallback correlator but the artifact carries
-`"degraded": true` and the reason.
+Prints the headline JSON line (12-channel B2a closed-loop tracking
+real-time factor at the reference dataset rate, 99.375 Msps — BASELINE
+config 3) with a `detail` dict carrying every other measured config and
+execution evidence: backend, device kind, correlator per stage, compile
+seconds, per-pass walls.
+
+Robustness contract (round-3 lesson: the official artifact timed out
+with NO parseable metric): the headline JSON line is re-emitted after
+EVERY completed config, an atexit + SIGTERM hook emits once more on any
+exit, and every stage is gated on a wall-clock budget (BENCH_BUDGET_S,
+default 540 s) so one slow stage can never starve the artifact.  The
+LAST JSON line on stdout is always the most complete state.  Stage
+order: headline first, IO-bound streaming last with its tracked span
+capped by the measured relay bandwidth.
 
 Baseline context (BASELINE.md): the reference MATLAB receiver publishes
 no numbers; its own UI shows multi-minute waitbars per channel for this
 workload (well below 1x real time, single-threaded float64 CPU), so
 vs_baseline reports our real-time factor against a 1.0x envelope.
 """
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -30,7 +38,11 @@ enable_compilation_cache()
 REPO = os.path.dirname(os.path.abspath(__file__))
 SECONDS = 2.2
 CHANNELS = 12
-DETAIL = {"configs": {}, "degraded": False, "notes": []}
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+DETAIL = {"configs": {}, "degraded": False, "notes": [], "skipped": []}
+_HEADLINE = {"value": None}
+_EMITTED_FINAL = [False]
 
 B2A_SATS = [(5, 1650.0, 4100.0), (12, -2480.0, 8123.0),
             (19, 700.0, 55.0), (30, -310.0, 9000.0)]
@@ -42,7 +54,49 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def get_capture(s, sats, cache_name, n_ms):
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def emit():
+    """Print the (current) headline JSON line to stdout, flushed.
+
+    Called after every config so a timeout/kill can never zero out the
+    round artifact again; the last line printed is the most complete."""
+    DETAIL["elapsed_s"] = round(time.time() - T_START, 1)
+    print(json.dumps({
+        "metric": "b2a_12ch_tracking_realtime_factor",
+        "value": _HEADLINE["value"],
+        "unit": "x_realtime_99.375Msps",
+        "vs_baseline": _HEADLINE["value"],
+        "detail": DETAIL,
+    }), flush=True)
+
+
+def _emit_final(*_args):
+    if not _EMITTED_FINAL[0]:
+        _EMITTED_FINAL[0] = True
+        DETAIL["notes"].append("emitted by exit hook")
+        emit()
+    if _args:            # invoked as a signal handler: exit now
+        os._exit(124)
+
+
+atexit.register(_emit_final)
+signal.signal(signal.SIGTERM, _emit_final)
+
+
+def gate(name: str, est_s: float) -> bool:
+    """Stage gate: run only if the budget has room for the estimate."""
+    if remaining() >= est_s:
+        return True
+    log(f"[bench] SKIP {name}: est {est_s:.0f}s > {remaining():.0f}s left")
+    DETAIL["skipped"].append({"config": name, "est_s": est_s,
+                              "remaining_s": round(remaining(), 1)})
+    return False
+
+
+def get_capture(s, sats, cache_name, n_ms, amplitude=0.65):
     from bds3_tpu.io import SatParams, synthesize_if
 
     cache = os.path.join(REPO, cache_name)
@@ -52,7 +106,8 @@ def get_capture(s, sats, cache_name, n_ms):
         if sig.shape[0] == n:
             return sig
     sat_params = [
-        SatParams(prn=p, doppler_hz=fd, code_phase_chips=cp, amplitude=0.65)
+        SatParams(prn=p, doppler_hz=fd, code_phase_chips=cp,
+                  amplitude=amplitude)
         for p, fd, cp in sats
     ]
     t0 = time.time()
@@ -82,8 +137,6 @@ def make_inits(s, sats, n_channels):
 def bench_tracking(name, s, sig_dev, inits, n_epochs, epochs_per_block,
                    passes, want="fused"):
     """Closed-loop tracking throughput; returns realtime factor."""
-    import jax.numpy as jnp  # noqa: F401  (device residency via caller)
-
     from bds3_tpu.track.driver import track
 
     correlator = want
@@ -152,7 +205,7 @@ def bench_tracking(name, s, sig_dev, inits, n_epochs, epochs_per_block,
     return rt
 
 
-def bench_acquisition(s, sig, n_prns):
+def bench_acquisition(name, s, sig, n_prns):
     """Cold-start PCPS acquisition wall time over n_prns satellites."""
     from bds3_tpu.acquire import acquire
     from bds3_tpu.receiver import acquisition_signal_length
@@ -166,9 +219,9 @@ def bench_acquisition(s, sig, n_prns):
     res = acquire(win, s, prns)
     wall = time.time() - t0
     ndet = int(res.detected.sum())
-    log(f"[bench] acquisition_b2a: {n_prns} PRNs in {wall:.2f}s warm "
+    log(f"[bench] {name}: {n_prns} PRNs in {wall:.2f}s warm "
         f"(compile+first {compile_s:.1f}s), detected {ndet}")
-    DETAIL["configs"]["acquisition_b2a"] = {
+    DETAIL["configs"][name] = {
         "prns": n_prns,
         "wall_s": round(wall, 2),
         "prn_per_s": round(n_prns / wall, 1),
@@ -181,20 +234,49 @@ def bench_acquisition(s, sig, n_prns):
 RX_TRUTH = np.array([-1288398.0, -4721697.0, 4078625.0])
 
 
-def bench_full_receiver():
-    """BASELINE config 4: the complete pipeline producing a REAL fix —
-    geometry-consistent 20 s scenario capture (decodable B-CNAV2
+def _score_receiver(name, s, res, walls, fs):
+    n_ch = len(res.channels)
+    processed = res.track.n_epochs * s.int_time if res.track else 0.0
+    corr = res.track.correlator if res.track else "none"
+    fixes, err_med = 0, float("nan")
+    if res.nav is not None:
+        ok = np.isfinite(res.nav.x)
+        fixes = int(ok.sum())
+        err = np.sqrt((res.nav.x[ok] - RX_TRUTH[0]) ** 2
+                      + (res.nav.y[ok] - RX_TRUTH[1]) ** 2
+                      + (res.nav.z[ok] - RX_TRUTH[2]) ** 2)
+        err_med = float(np.median(err)) if fixes else float("nan")
+    rt_warm = processed / walls["warm"] if "warm" in walls else float("nan")
+    log(f"[bench] {name}: acq+track({n_ch}ch)+decode+pvt on "
+        f"{processed:.0f}s streamed scenario: "
+        + ", ".join(f"{k} {v:.1f}s" for k, v in walls.items())
+        + f" ({rt_warm:.2f}x rt warm, correlator={corr}); "
+        f"{fixes} fixes, median 3D err {err_med:.2f} m")
+    DETAIL["configs"][name] = {
+        "fs_msps": round(fs / 1e6, 3),
+        "tracked_s": round(processed, 2),
+        **{f"wall_s_{k}": round(v, 1) for k, v in walls.items()},
+        "realtime_factor_warm": round(rt_warm, 3),
+        "channels": n_ch,
+        "correlator": corr,
+        "fixes": fixes,
+        "median_3d_err_m": round(err_med, 3) if np.isfinite(err_med) else None,
+        "timings_warm": {k: round(v, 2) for k, v in res.timings.items()
+                         if isinstance(v, (int, float))},
+    }
+
+
+def bench_full_receiver(cold_and_warm=True):
+    """BASELINE config 4 (B2a): the complete pipeline producing a REAL
+    fix — geometry-consistent 20 s scenario capture (decodable B-CNAV2
     MT10/11/30 set per SV, B2a pilot secondary on) streamed from disk ->
     acquisition -> fused tracking -> decode -> pseudoranges -> PVT,
-    scored against the known receiver position.  Cold run (compiles) and
-    warm run are reported separately (postProcessing.m:60-169 role).
+    scored against the known receiver position (postProcessing.m:60-169
+    role).
 
     Runs at 24.84375 Msps (a realistic front-end rate; host-side
-    scenario synthesis at the full 99.375 Msps costs ~20 min, done once
-    for the streaming config below instead).  The headline tracking
-    configs above stay at the 99.375 Msps reference rate."""
-    import dataclasses as _dc
-
+    scenario synthesis at the full 99.375 Msps costs ~20 min).  The
+    headline tracking configs stay at the 99.375 Msps reference rate."""
     from bds3_tpu.config import b2a_settings
     from bds3_tpu.io.scenario import make_scenario, synthesize_scenario
     from bds3_tpu.io.stream import StreamingCapture
@@ -219,52 +301,89 @@ def bench_full_receiver():
 
     walls = {}
     res = None
-    for label in ("cold", "warm"):
+    labels = ("cold", "warm") if cold_and_warm else ("warm",)
+    for label in labels:
         cap = StreamingCapture(path)
         t0 = time.time()
         res = run_receiver(cap, s, epochs_per_block=2000, verbose=False)
         walls[label] = time.time() - t0
+    _score_receiver("full_receiver_b2a", s, res, walls, fs)
 
-    n_ch = len(res.channels)
-    processed = res.track.n_epochs * s.int_time if res.track else 0.0
-    corr = res.track.correlator if res.track else "none"
-    fixes, err_med = 0, float("nan")
-    if res.nav is not None:
-        ok = np.isfinite(res.nav.x)
-        fixes = int(ok.sum())
-        err = np.sqrt((res.nav.x[ok] - RX_TRUTH[0]) ** 2
-                      + (res.nav.y[ok] - RX_TRUTH[1]) ** 2
-                      + (res.nav.z[ok] - RX_TRUTH[2]) ** 2)
-        err_med = float(np.median(err)) if fixes else float("nan")
-    rt_warm = processed / walls["warm"]
-    log(f"[bench] full_receiver_b2a: acq+track({n_ch}ch)+decode+pvt on "
-        f"{processed:.0f}s streamed scenario: cold {walls['cold']:.1f}s, "
-        f"warm {walls['warm']:.1f}s ({rt_warm:.2f}x rt warm, "
-        f"correlator={corr}); {fixes} fixes, median 3D err {err_med:.2f} m")
-    DETAIL["configs"]["full_receiver_b2a"] = {
-        "fs_msps": round(fs / 1e6, 3),
-        "tracked_s": round(processed, 2),
-        "wall_s_cold": round(walls["cold"], 1),
-        "wall_s_warm": round(walls["warm"], 1),
-        "realtime_factor_warm": round(rt_warm, 3),
-        "channels": n_ch,
-        "correlator": corr,
-        "fixes": fixes,
-        "median_3d_err_m": round(err_med, 3) if np.isfinite(err_med) else None,
-        "timings_warm": {k: round(v, 2) for k, v in res.timings.items()
-                         if isinstance(v, (int, float))},
-    }
+    # pilot-secondary frame sync on the tracked channels (ICD Weil-100
+    # overlay; capability the reference lacks — observe/secondary.py)
+    try:
+        from bds3_tpu.observe.secondary import b2a_pilot_secondary_sync
+
+        syncs = [b2a_pilot_secondary_sync(res.track, ch)
+                 for ch in range(len(res.channels))]
+        DETAIL["configs"]["full_receiver_b2a"]["pilot_secondary_sync"] = {
+            "locked": sum(x["metric"] > 2.0 for x in syncs),
+            "min_metric": round(min(x["metric"] for x in syncs), 2),
+            "min_aligned": round(
+                min(x["aligned_fraction"] for x in syncs), 3),
+        }
+    except Exception as e:
+        DETAIL["notes"].append(f"pilot_secondary_sync failed: {e!r}")
 
 
-def bench_streaming_49s(s):
+def bench_full_receiver_b1c():
+    """BASELINE config 4 (B1C): scenario -> acquisition -> WIDEBAND
+    QMBOC tracking (18 correlators incl. the BOC(6,1) bank) -> B-CNAV1
+    BCH/de-interleave/CRC decode -> PVT (`BDS-3_B1C/postProcessing.m:
+    105-159` role).  26 s covers one full 18 s B-CNAV1 frame + margin.
+
+    33.125 Msps: the BOC(6,1) pilot's upper sideband (IF + 6.14 MHz =
+    14.4 MHz) must sit inside Nyquist — at fs/4=24.8 Msps it aliases
+    and biases the WB weighted DLL by ~5 m (measured; the NB mode on
+    the same 24.8 Msps scenario fixes at 0.5 m)."""
+    from bds3_tpu.config import b1c_settings
+    from bds3_tpu.io.scenario import make_scenario, synthesize_scenario
+    from bds3_tpu.io.stream import StreamingCapture
+    from bds3_tpu.receiver import run_receiver
+
+    fs = 99.375e6 / 3
+    s = b1c_settings(
+        sampling_freq=fs, intermediate_freq=fs / 4, ms_to_process=26_000,
+        use_tropo_corr=False, acq_satellite_list=tuple(range(1, 7)),
+        num_channels=5,
+    )
+    path = os.path.join(REPO, ".bench_scenario_b1c33.bin")
+    n = int(s.ms_to_process * 1e-3 * fs)
+    sc = make_scenario(s, RX_TRUTH, n_sats=5, sow_base=3600.0 * 3, seed=5)
+    if not (os.path.exists(path) and os.path.getsize(path) == n):
+        t0 = time.time()
+        sig = synthesize_scenario(sc, noise_std=2.0, amplitude=1.3, seed=2)
+        sig.tofile(path)
+        log(f"[bench] synthesized B1C scenario {sig.nbytes/1e6:.0f} MB "
+            f"in {time.time()-t0:.0f}s")
+        del sig
+
+    cap = StreamingCapture(path)
+    t0 = time.time()
+    res = run_receiver(cap, s, epochs_per_block=500, verbose=False)
+    walls = {"warm": time.time() - t0}
+    _score_receiver("full_receiver_b1c", s, res, walls, fs)
+
+
+def bench_streaming(s):
     """Capture-scale streaming: a 49 s / ~4.9 GB int8 file at the
     reference dataset rate (README.md:135-141 envelope), 12 channels,
     streamed through StreamingCapture (native pread + lookahead) with
-    bounded host memory — never resident in RAM or HBM at once."""
+    bounded host memory — never resident in RAM or HBM at once.
+
+    The tracked span is capped so the stage fits the remaining budget
+    at the measured relay bandwidth (round-3 lesson: on this dev setup
+    the axon tunnel caps bulk uploads at ~6-44 MB/s, bounding ANY
+    single-chip streaming run of a 99.375 MB/s capture at ~0.1-0.45x
+    realtime regardless of kernel speed; a real PCIe/DMA-attached chip
+    ingests >10 GB/s).  The roofline is recorded alongside."""
     import resource
+
+    import jax.numpy as jnp
 
     from bds3_tpu.io import SatParams, synthesize_if
     from bds3_tpu.io.stream import StreamingCapture
+    from bds3_tpu.observe.cn0 import channel_health
     from bds3_tpu.track.driver import track
 
     path = os.path.join(REPO, ".bench_stream49.bin")
@@ -286,48 +405,50 @@ def bench_streaming_49s(s):
         log(f"[bench] synthesized 49 s capture ({n/1e9:.2f} GB) "
             f"in {time.time()-t0:.0f}s")
 
-    # measure the relay's raw host->device upload bandwidth first: on
-    # this dev setup the axon tunnel caps bulk uploads at ~20 MB/s,
-    # which bounds ANY single-chip streaming run of a 99.375 MB/s
-    # capture at ~0.2x realtime regardless of kernel speed (a real
-    # PCIe/DMA-attached chip ingests >10 GB/s).  The number is recorded
-    # so the sustained factor can be read against its IO roofline.
-    import jax.numpy as jnp
-
     probe = np.zeros(100_000_000, np.int8)
     t0 = time.time()
     jnp.asarray(probe).block_until_ready()
     up_mbs = 100.0 / (time.time() - t0)
     del probe
+    roofline = up_mbs / 99.375
     log(f"[bench] streaming_49s: relay upload bandwidth {up_mbs:.0f} MB/s "
-        f"(IO roofline {up_mbs/99.375:.2f}x realtime)")
+        f"(IO roofline {roofline:.2f}x realtime)")
+
+    # wall-clock deadline: the probe bandwidth is optimistic (the relay
+    # fluctuates 6-76 MB/s mid-run), so rather than pre-capping epochs
+    # from it, give track() a hard budget — it returns the epochs it
+    # actually finished (partial results, round-3 timeout lesson)
+    deadline = max(20.0, remaining() - 30.0)
+    log(f"[bench] streaming_49s: tracking up to 48.5s with a "
+        f"{deadline:.0f}s wall deadline (probe roofline {roofline:.2f}x)")
 
     rss0_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     cap = StreamingCapture(path)
     inits = make_inits(s, B2A_SATS, 12)
     t0 = time.time()
     res = track(cap, s, inits, n_epochs=48_500, epochs_per_block=2000,
-                correlator="fused", download=False, sync_each_block=True)
+                correlator="fused", download=False, sync_each_block=True,
+                deadline_s=deadline)
     np.asarray(res.outputs["d_ip"][:, -200:])
     wall = time.time() - t0
     tracked = res.n_epochs * s.int_time
     rt = tracked / wall
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    from bds3_tpu.observe.cn0 import channel_health
-
     health = channel_health(res)
     locked = sum(h["lock_ok"] for h in health)
     log(f"[bench] streaming_49s: {tracked:.1f}s x 12ch streamed from "
         f"{n/1e9:.2f} GB file in {wall:.1f}s ({rt:.2f}x rt sustained vs "
-        f"{up_mbs/99.375:.2f}x IO roofline); peak RSS {rss_gb:.1f} GB "
-        f"(pre-phase peak {rss0_gb:.1f}); locked {locked}/12")
+        f"{roofline:.2f}x IO roofline = {rt/max(roofline,1e-9):.2f} of "
+        f"roofline); peak RSS {rss_gb:.1f} GB (pre-phase {rss0_gb:.1f}); "
+        f"locked {locked}/12")
     DETAIL["configs"]["streaming_49s"] = {
         "capture_gb": round(n / 1e9, 2),
         "tracked_s": round(tracked, 1),
         "wall_s": round(wall, 1),
         "realtime_factor_sustained": round(rt, 3),
         "relay_upload_mb_s": round(up_mbs, 1),
-        "io_roofline_rt": round(up_mbs / 99.375, 2),
+        "io_roofline_rt": round(roofline, 2),
+        "fraction_of_roofline": round(rt / max(roofline, 1e-9), 2),
         "peak_rss_gb": round(rss_gb, 2),
         "pre_phase_peak_rss_gb": round(rss0_gb, 2),
         "channels": 12,
@@ -337,18 +458,31 @@ def bench_streaming_49s(s):
     }
 
 
+def _stage(name, est_s, fn):
+    """Run one bench stage under the budget gate; always emit after."""
+    if not gate(name, est_s):
+        return
+    try:
+        fn()
+    except Exception as e:
+        log(f"[bench] {name} failed: {e!r}")
+        DETAIL["notes"].append(f"{name} failed: {type(e).__name__}: {e}")
+    emit()
+
+
 def main():
     import jax
 
-    from bds3_tpu.config import b1c_settings, b2a_settings
+    from bds3_tpu.config import TrackMode, b1c_settings, b2a_settings
 
     dev = jax.devices()[0]
     DETAIL["backend"] = jax.default_backend()
     DETAIL["device"] = str(dev)
     DETAIL["device_kind"] = getattr(dev, "device_kind", "?")
     DETAIL["platform"] = dev.platform
+    DETAIL["budget_s"] = BUDGET_S
     log(f"[bench] device={dev} platform={dev.platform} "
-        f"backend={jax.default_backend()}")
+        f"backend={jax.default_backend()} budget={BUDGET_S:.0f}s")
     if dev.platform != "tpu":
         DETAIL["degraded"] = True
         DETAIL["notes"].append(f"not a TPU: {dev.platform}")
@@ -360,77 +494,75 @@ def main():
     sig2 = get_capture(s2, B2A_SATS, ".bench_capture.npy", SECONDS * 1e3)
     sig2_dev = jnp.asarray(sig2)
     inits2 = make_inits(s2, B2A_SATS, CHANNELS)
-    rt = bench_tracking("tracking_b2a_12ch", s2, sig2_dev, inits2,
-                        n_epochs=2000, epochs_per_block=2000, passes=6)
+    _HEADLINE["value"] = round(bench_tracking(
+        "tracking_b2a_12ch", s2, sig2_dev, inits2,
+        n_epochs=2000, epochs_per_block=2000, passes=6), 3)
+    emit()
 
     # ---- config 1: B2a cold-start acquisition ---------------------------
-    try:
-        bench_acquisition(s2, sig2, n_prns=63)
-    except Exception as e:
-        log(f"[bench] acquisition bench failed: {e!r}")
-        DETAIL["notes"].append(f"acquisition_b2a failed: {type(e).__name__}")
+    _stage("acquisition_b2a", 40,
+           lambda: bench_acquisition("acquisition_b2a", s2, sig2, 63))
+
+    # ---- config 2: B1C tracking at the reference dataset rate ----------
+    # the capture is synthesized with the full QMBOC pilot (wideband
+    # settings = the true on-air signal); NB mode then tracks its
+    # BOC(1,1) components exactly as NB_tracking.m does.
+    s1 = b1c_settings(sampling_freq=99.375e6, intermediate_freq=14.58e6)
+    s1nb = b1c_settings(sampling_freq=99.375e6, intermediate_freq=14.58e6,
+                        track_mode=TrackMode.NARROWBAND)
+    sig1 = None
+    if gate("tracking_b1c", 120):
+        try:
+            # amplitude 0.22 ~= 47 dB-Hz: realistic on-air level.  At
+            # the old 0.65 (~57 dB-Hz) the 10 ms-coherent GLRT floor is
+            # Weil CROSS-correlations of the 4 strong satellites
+            # (metric ~11 > the 7.5 threshold on every absent PRN);
+            # the reference's threshold assumes on-air signal levels.
+            sig1 = get_capture(s1, B1C_SATS, ".bench_capture_b1c47.npy",
+                               6200.0, amplitude=0.22)
+            sig1_dev = jnp.asarray(sig1)
+            inits1 = make_inits(s1, B1C_SATS, CHANNELS)
+            bench_tracking("tracking_b1c_12ch_nb", s1nb, sig1_dev, inits1,
+                           n_epochs=600, epochs_per_block=200, passes=3)
+            emit()
+            # wideband QMBOC (18 correlators incl. the BOC(6,1) bank) on
+            # the fused kernel's m=12 second boundary family
+            bench_tracking("tracking_b1c_12ch_wb", s1, sig1_dev, inits1,
+                           n_epochs=600, epochs_per_block=200, passes=3)
+            del sig1_dev
+        except Exception as e:
+            log(f"[bench] B1C tracking bench failed: {e!r}")
+            DETAIL["notes"].append(f"tracking_b1c failed: {type(e).__name__}")
+        emit()
+
+    # ---- config 2 (acquisition): B1C 63-PRN GLRT cold start -------------
+    # 201 Doppler bins x 10 ms coherent at the published dataset rate
+    # (BDS-3_B1C/acquisition.m:131-235 envelope)
+    if sig1 is not None:
+        _stage("acquisition_b1c", 90,
+               lambda: bench_acquisition("acquisition_b1c", s1, sig1, 63))
 
     # ---- config 5 (single-chip aggregate): 48-channel B2a ---------------
     # the north-star metric is aggregate correlated samples/s/chip; the
     # window-ring kernel's VMEM is channel-count independent, so one chip
     # tracks 4x the reference's channel load (multi-chip scaling of the
     # same program is validated on the virtual mesh by dryrun_multichip)
-    try:
+    def _run48():
         inits48 = make_inits(s2, B2A_SATS, 48)
         bench_tracking("tracking_b2a_48ch", s2, sig2_dev, inits48,
                        n_epochs=2000, epochs_per_block=2000, passes=3)
-    except Exception as e:
-        log(f"[bench] 48ch bench failed: {e!r}")
-        DETAIL["notes"].append(f"tracking_b2a_48ch failed: {type(e).__name__}")
 
-    # ---- config 4: full receiver with a real decoded fix ----------------
-    try:
-        bench_full_receiver()
-    except Exception as e:
-        log(f"[bench] full receiver bench failed: {e!r}")
-        DETAIL["notes"].append(f"full_receiver_b2a failed: {type(e).__name__}")
+    _stage("tracking_b2a_48ch", 45, _run48)
 
-    # ---- capture-scale streaming (README.md:135-141 envelope) -----------
-    try:
-        bench_streaming_49s(s2)
-    except Exception as e:
-        log(f"[bench] streaming bench failed: {e!r}")
-        DETAIL["notes"].append(f"streaming_49s failed: {type(e).__name__}")
+    # ---- config 4: full receivers with real decoded fixes ---------------
+    _stage("full_receiver_b2a", 95, bench_full_receiver)
+    _stage("full_receiver_b1c", 110, bench_full_receiver_b1c)
 
-    # ---- config 2: B1C tracking at the reference dataset rate ----------
-    # the capture is synthesized with the full QMBOC pilot (wideband
-    # settings = the true on-air signal); NB mode then tracks its
-    # BOC(1,1) components exactly as NB_tracking.m does.
-    try:
-        from bds3_tpu.config import TrackMode
+    # ---- capture-scale streaming LAST (IO-bound, budget-capped) ---------
+    _stage("streaming_49s", 60, lambda: bench_streaming(s2))
 
-        # the published B1C dataset rate (README.md:99-104)
-        s1 = b1c_settings(sampling_freq=99.375e6, intermediate_freq=14.58e6)
-        sig1 = get_capture(s1, B1C_SATS, ".bench_capture_b1c.npy", 6200.0)
-        sig1_dev = jnp.asarray(sig1)
-        inits1 = make_inits(s1, B1C_SATS, CHANNELS)
-        s1nb = b1c_settings(sampling_freq=99.375e6,
-                            intermediate_freq=14.58e6,
-                            track_mode=TrackMode.NARROWBAND)
-        bench_tracking("tracking_b1c_12ch_nb", s1nb, sig1_dev, inits1,
-                       n_epochs=600, epochs_per_block=200, passes=3)
-        # wideband QMBOC (18 correlators incl. the BOC(6,1) bank) on the
-        # fused kernel's m=12 second boundary family
-        bench_tracking("tracking_b1c_12ch_wb", s1, sig1_dev, inits1,
-                       n_epochs=600, epochs_per_block=200, passes=3)
-        del sig1_dev
-    except Exception as e:
-        log(f"[bench] B1C tracking bench failed: {e!r}")
-        DETAIL["notes"].append(f"tracking_b1c failed: {type(e).__name__}")
-
-    # ---- headline JSON ---------------------------------------------------
-    print(json.dumps({
-        "metric": "b2a_12ch_tracking_realtime_factor",
-        "value": round(rt, 3),
-        "unit": "x_realtime_99.375Msps",
-        "vs_baseline": round(rt / 1.0, 3),
-        "detail": DETAIL,
-    }))
+    _EMITTED_FINAL[0] = True     # the normal final emit
+    emit()
 
 
 if __name__ == "__main__":
