@@ -436,13 +436,23 @@ def acquire(
 
     if s.resampling and s.sampling_freq > s.resampling_threshold:
         # bandpass-sampling decimation (acquisition.m:52-124); results are
-        # mapped back to the original rate below
+        # mapped back to the original rate below.  On TPU the zero-phase
+        # filter + decimate runs as one device conv + gather
+        # (resample_signal_device) instead of host scipy filtfilt.
+        import jax as _jax
+
         from bds3_tpu.acquire.resample import (
-            plan_resample, recover_results, resample_signal,
+            plan_resample,
+            recover_results,
+            resample_signal,
+            resample_signal_device,
         )
 
         plan = plan_resample(s)
-        signal = resample_signal(signal, s, plan)
+        if _jax.devices()[0].platform == "tpu":
+            signal = resample_signal_device(signal, s, plan)
+        else:
+            signal = resample_signal(signal, s, plan)
         s_low = dataclasses.replace(
             s, sampling_freq=plan.new_fs, intermediate_freq=plan.new_if,
             resampling=False,

@@ -60,6 +60,37 @@ def resample_signal(signal: np.ndarray, s: Settings,
     return filtered[idx].astype(np.float32)
 
 
+def resample_signal_device(signal, s: Settings,
+                           plan: ResamplePlan):
+    """TPU-resident equivalent of `resample_signal` (returns jnp array).
+
+    The reference's zero-phase filtfilt with a SYMMETRIC firwin kernel
+    equals (away from the boundary transient) a single convolution with
+    the kernel's autocorrelation conv(b, b[::-1]) = conv(b, b): that
+    runs as one XLA conv on the MXU instead of a host scipy filtfilt
+    over the multi-MB window (the reason the reference marks its own
+    resampling path as costly).  The nearest-index decimation is a
+    device gather.  Differences vs the host path are confined to the
+    first/last ~3*ntaps samples (filtfilt's reflect padding), which the
+    acquisition correlation never keys on (tests/test_resample.py).
+    """
+    import jax.numpy as jnp
+
+    fs = plan.old_fs
+    bw = s.code_freq_basis * 2 + 0.5e6
+    w1 = (plan.old_if - bw / 2) * 2 / fs - 0.002
+    w2 = (plan.old_if + bw / 2) * 2 / fs + 0.002
+    b = sp_signal.firwin(701, [max(w1, 1e-6), min(w2, 1 - 1e-6)],
+                         pass_zero=False)
+    bb = np.convolve(b, b).astype(np.float32)         # zero-phase kernel
+    x = jnp.asarray(signal).astype(jnp.float32)
+    filtered = jnp.convolve(x, jnp.asarray(bb), mode="same")
+    n_out = int(np.floor((len(signal) - 1) / fs * plan.new_fs))
+    idx = np.ceil(np.arange(n_out) / plan.new_fs * fs).astype(np.int64)
+    idx[0] = 0
+    return jnp.take(filtered, jnp.asarray(idx))
+
+
 def recover_results(acq, plan: ResamplePlan):
     """Map code phase and carrier frequency back to the original rate.
 

@@ -97,6 +97,16 @@ class LazyOutputs:
     def keys(self):
         return self._idx.keys()
 
+    def realize(self) -> dict:
+        """Download the packed array ONCE and return plain numpy (C, E)
+        arrays.  Use before host-side analysis loops: per-channel
+        indexing of the lazy device slices costs a relay round trip
+        per access (measured minutes for 48-channel health checks when
+        the relay latency spikes)."""
+        stacked = np.asarray(self._stacked)
+        return {k: np.ascontiguousarray(stacked[i][: self._n].T)
+                for k, i in self._idx.items()}
+
     def items(self):
         return ((k, self[k]) for k in self._idx)
 

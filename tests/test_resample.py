@@ -40,3 +40,32 @@ class TestResampledAcquisition:
         err = min(err, spc - err)
         # resampling quantizes code phase to the decimated rate (~7 samples)
         assert err <= 12.0, (res.code_phase[0], expect)
+
+
+class TestDeviceResample:
+    def test_device_matches_host_interior(self):
+        """The single-conv zero-phase device path must match scipy
+        filtfilt away from the boundary transient (symmetric kernel:
+        filtfilt == conv with the kernel autocorrelation)."""
+        import numpy as np
+
+        from bds3_tpu.acquire.resample import (
+            plan_resample, resample_signal, resample_signal_device,
+        )
+        from bds3_tpu.config import b2a_settings
+
+        s = b2a_settings(sampling_freq=40e6, intermediate_freq=9e6,
+                         resampling=True, resampling_threshold=15e6)
+        rng = np.random.default_rng(5)
+        sig = rng.integers(-30, 30, 400_000).astype(np.int8)
+        plan = plan_resample(s)
+        host = resample_signal(sig, s, plan)
+        dev = np.asarray(resample_signal_device(sig, s, plan))
+        assert host.shape == dev.shape
+        # boundary transient: ~3*701 input samples on each side, mapped
+        # through the decimation ratio
+        guard = int(3 * 701 * plan.new_fs / plan.old_fs) + 4
+        h = host[guard:-guard]
+        d = dev[guard:-guard]
+        scale = np.abs(h).mean() + 1e-9
+        np.testing.assert_allclose(d / scale, h / scale, atol=5e-3)
