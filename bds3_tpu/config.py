@@ -83,6 +83,16 @@ class Settings:
     pll_bw: float = 12.0                      # [Hz]
     int_time: float = 0.01                    # pre-detection integration [s]
     cn0_interval: int = 50                    # epochs per C/N0 estimate
+    # B1C wideband code-DLL blend:
+    #   "composite" - the reference's QMBOC composite-pilot E-L blend
+    #     (WB_tracking.m:414-419).  Measured on synthesized truth: the
+    #     composite envelope's equilibrium is Doppler-dependent by up
+    #     to ~1 sample (the BOC(6,1) oscillatory ACF under the
+    #     0.06-chip spacing), biasing pseudoranges by meters.
+    #   "nb" - data + BOC(1,1)-pilot 11/29 code blend (the NB DLL) with
+    #     the composite pilot kept for the CARRIER loop; recovers <2 m
+    #     fixes while preserving the wideband carrier advantage.
+    wb_code_blend: str = "composite"
 
     # --- navigation ------------------------------------------------------
     nav_sol_period_ms: int = 200

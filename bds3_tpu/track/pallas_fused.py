@@ -976,10 +976,17 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     o[f"p_q{x}"] = (-w61f * o[f"p61_q{x}"]
                                     - w11f * o[f"p11_i{x}"])
                 carr_p = atan_poly(o["p_qp"] / o["p_ip"]) * inv2pi
-                code_p = eml(o["p_ie"], o["p_qe"],
-                             o["p_il"], o["p_ql"]) * (1.0 - spc)
                 carr_err = (carr_d + 3.0 * carr_p) / 4.0
-                code_err = code_d * dllf + code_p * (1.0 - dllf)
+                if cfg.wb_code_blend == "nb":
+                    # NB-style 11/29 code DLL, composite carrier kept
+                    # (scan.py's wb_code_blend note)
+                    code_p11 = eml(o["p11_ie"], o["p11_qe"],
+                                   o["p11_il"], o["p11_ql"]) * (1.0 - spc)
+                    code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
+                else:
+                    code_p = eml(o["p_ie"], o["p_qe"],
+                                 o["p_il"], o["p_ql"]) * (1.0 - spc)
+                    code_err = code_d * dllf + code_p * (1.0 - dllf)
             else:
                 carr_p = atan_poly(-o["p11_ip"] / o["p11_qp"]) * inv2pi
                 code_p = eml(o["p11_ie"], o["p11_qe"],

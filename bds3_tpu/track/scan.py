@@ -242,11 +242,22 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start,
             out[f"p_i{x}"] = -W61 * out[f"p61_i{x}"] + W11 * out[f"p11_q{x}"]
             out[f"p_q{x}"] = -W61 * out[f"p61_q{x}"] - W11 * out[f"p11_i{x}"]
         carr_p = jnp.arctan(out["p_qp"] / out["p_ip"]) * inv2pi
-        code_p = eml(out["p_ie"], out["p_qe"], out["p_il"],
-                     out["p_ql"]) * (1.0 - cfg.spacing)
         carr_err = (carr_d + 3.0 * carr_p) / 4.0
-        f = cfg.dll_factor
-        code_err = code_d * f + code_p * (1.0 - f)
+        if cfg.wb_code_blend == "nb":
+            # data + BOC(1,1)-pilot 11/29 code DLL (the NB blend) with
+            # the composite pilot retained for the carrier loop above:
+            # the composite-envelope E-L equilibrium is Doppler-
+            # dependent by up to ~1 sample (BOC(6,1) oscillatory ACF at
+            # 0.06-chip spacing; measured on synthesized truth — see
+            # Settings.wb_code_blend)
+            code_p11 = eml(out["p11_ie"], out["p11_qe"], out["p11_il"],
+                           out["p11_ql"]) * (1.0 - cfg.spacing)
+            code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
+        else:
+            code_p = eml(out["p_ie"], out["p_qe"], out["p_il"],
+                         out["p_ql"]) * (1.0 - cfg.spacing)
+            f = cfg.dll_factor
+            code_err = code_d * f + code_p * (1.0 - f)
 
     # --- loop filters (tracking.m:355-389) -------------------------------
     d2_new = d2_carr + carr_err * cfg.pf3

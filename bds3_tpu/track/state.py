@@ -51,6 +51,7 @@ class TrackConfig:
     pf2: float
     pf1: float
     dll_factor: float         # WB data/pilot DLL weight; unused otherwise
+    wb_code_blend: str        # WB code DLL: "composite" | "nb" (see config)
     complex_input: bool
     epochs_per_block: int
     correlator: str = "bucket"  # "bucket" (prefix-sum) or "gather"
@@ -165,6 +166,7 @@ def make_track_config(s: Settings, complex_input: bool = False,
         pf2=pf2,
         pf1=pf1,
         dll_factor=dll_factor,
+        wb_code_blend=getattr(s, "wb_code_blend", "composite"),
         complex_input=complex_input,
         epochs_per_block=epochs_per_block,
         correlator=correlator,

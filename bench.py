@@ -360,6 +360,12 @@ def bench_full_receiver_b1c():
         sampling_freq=fs, intermediate_freq=fs / 4, ms_to_process=26_000,
         use_tropo_corr=False, acq_satellite_list=tuple(range(1, 7)),
         num_channels=5,
+        # NB-style 11/29 code DLL (composite carrier kept): the
+        # reference's composite-pilot E-L blend has a Doppler-dependent
+        # equilibrium (BOC(6,1) oscillatory ACF at 0.06-chip spacing)
+        # measured at ~12 m median position bias on synthesized truth
+        # vs 1.9 m with this blend — see Settings.wb_code_blend
+        wb_code_blend="nb",
     )
     path = os.path.join(REPO, ".bench_scenario_b1c33.bin")
     n = int(s.ms_to_process * 1e-3 * fs)
