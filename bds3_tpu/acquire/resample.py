@@ -84,7 +84,20 @@ def resample_signal_device(signal, s: Settings,
                          pass_zero=False)
     bb = np.convolve(b, b).astype(np.float32)         # zero-phase kernel
     x = jnp.asarray(signal).astype(jnp.float32)
-    filtered = jnp.convolve(x, jnp.asarray(bb), mode="same")
+    n = x.shape[0]
+    k = len(bb)
+    # FFT convolution with a power-of-2 length: XLA:TPU handles a direct
+    # multi-MSample 1-D conv (and odd-length FFTs) pathologically —
+    # see docs/PERF.md "power-of-two FFT lengths only"
+    nfft = 1
+    while nfft < n + k:
+        nfft <<= 1
+    # kernel spectrum computed ON DEVICE from the 1401-tap constant (a
+    # host-side np.fft.rfft would embed a multi-MB complex literal in
+    # the program, which the remote backend rejects)
+    spec = jnp.fft.rfft(x, nfft) * jnp.fft.rfft(jnp.asarray(bb), nfft)
+    full = jnp.fft.irfft(spec, nfft)
+    filtered = full[(k - 1) // 2 : (k - 1) // 2 + n]  # 'same' alignment
     n_out = int(np.floor((len(signal) - 1) / fs * plan.new_fs))
     idx = np.ceil(np.arange(n_out) / plan.new_fs * fs).astype(np.int64)
     idx[0] = 0

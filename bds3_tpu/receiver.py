@@ -40,7 +40,18 @@ class ReceiverResults:
 
 def acquisition_signal_length(s: Settings) -> int:
     """Samples needed by the acquisition stage (coarse FFT window + fine
-    window, cf. postProcessing.m acq reads)."""
+    window, cf. postProcessing.m acq reads).  With resampling active the
+    requirement is mapped back to the original rate (+ filter margin)."""
+    if s.resampling and s.sampling_freq > s.resampling_threshold:
+        from bds3_tpu.acquire.resample import plan_resample
+
+        plan = plan_resample(s)
+        s_low = dataclasses.replace(
+            s, sampling_freq=plan.new_fs, intermediate_freq=plan.new_if,
+            resampling=False)
+        need_low = acquisition_signal_length(s_low)
+        return int(np.ceil((need_low + 2) * plan.old_fs / plan.new_fs)) \
+            + 3 * 701
     cfg = make_acq_config(s)
     return cfg.n_fft + max(cfg.fine_noncoh, 1) * cfg.samples_per_code \
         + cfg.samples_per_code
