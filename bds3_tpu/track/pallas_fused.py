@@ -216,6 +216,16 @@ def _geometry(cfg) -> dict:
     # lane-padded to 128 by Mosaic (rp*512 B) — cheap for B2a-scale
     # windows, ~4 MB for B1C, hence the size gate.
     rp = r + _round_up(max(s_rows, s61), 16 if pscr_bf16 else 8)
+    # Stage-2 v-store mode: per-tile select results (vi, vq) go to a
+    # (2, TK, NR*bt) VMEM scratch and the weight contraction runs ONCE
+    # per channel as a full-sublane (TK, NR*bt) elementwise-reduce —
+    # replacing ~24 one-sublane (1, bt) multiply/accumulate ops per
+    # tile (1/8 VPU utilization each) with 2 stores.  Gated on the
+    # scratch staying small (B2a / B1C-NB yes; the B1C WB BOC(6,1)
+    # family would need ~3 MB, so it keeps the accumulator path).
+    vst_env = os.environ.get("FUSED_S2_VSTORE", "auto")
+    vst_bytes = 2 * tk * n_ramps * bt * 4
+    vst = {"auto": vst_bytes <= 768 << 10, "1": True, "0": False}[vst_env]
     # Channel-pair software pipelining: with TWO ping-pong prefix
     # scratches (channel c uses buffer c%2) consecutive channels have
     # no data hazard, so an unroll-2 channel loop lets Mosaic overlap
@@ -232,7 +242,7 @@ def _geometry(cfg) -> dict:
                 inv0_frac=inv0_frac, R=r, S=s_rows, RP=rp, n_win=n_win,
                 T=n_win // (s1r * LANES), half_grid=half_grid,
                 n_ramps=n_ramps, DEFER=defer, PSCR_BF16=pscr_bf16,
-                ALIGN=align, PP=pp,
+                ALIGN=align, PP=pp, VST=vst,
                 m61=m61, lm61=lm61, kb61=kb61, TK61=tk61, kp61=kp61,
                 S2G61=s2g61,
                 inv61_int=inv61_int, inv61_frac=inv61_frac, S61=s61)
@@ -361,6 +371,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     R_WIN = geo["n_win"] // LANES
     DEFER = geo["DEFER"]
     PP = geo["PP"]
+    VST = geo["VST"]
 
     S1R = geo["S1R"]                 # stage-1 rows per loop step
     STEP = S1R * LANES               # stage-1 samples per loop step
@@ -369,7 +380,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                tbint_s, tbfrac_s, tb61int_s, tb61frac_s, statef_s,
                cursorin_s, b2_ref, dcode_ref, p61w_ref,
                out_ref, curout_s, p_scr, r_scr, stf, sti, win_scr,
-               dma_sem, p61_scr, dma61_sem):
+               dma_sem, p61_scr, dma61_sem, v_scr):
         w = pl.program_id(0)
 
         # windows stream HBM->VMEM by explicit DMA on a per-(epoch,
@@ -815,6 +826,13 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                         vi = jnp.sum(tmp_i * row_m, axis=0, keepdims=True)
                         vq = jnp.sum(tmp_q * row_m, axis=0, keepdims=True)
 
+                if VST:
+                    # defer the weight contraction: park this tile's
+                    # select results; the bulk (TK, NR*BT) weighted
+                    # reduce runs once per channel after the loop
+                    v_scr[0, pl.ds(kt, 1), :] = vi
+                    v_scr[1, pl.ds(kt, 1), :] = vq
+                    return acc
                 wd = dcode_ref[c, 0, pl.ds(kt, 1), :]           # (1, BT)
                 if use_pilot:
                     wp = dcode_ref[c, 1, pl.ds(kt, 1), :]
@@ -861,17 +879,56 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                                     unroll=1)
             if skip_s2:
                 acc = tuple(a + tot_i[:, 0:1] for a in acc)
-            # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...), late(...)];
-            # the (1, BT) vector accumulators reduce to scalars here —
-            # the only vector->scalar sync of the whole channel
             o = {}
             tapn = ("e", "p", "l")
-            for t_i in range(3):
-                o[f"d_i{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 0])
-                o[f"d_q{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 1])
-                if use_pilot:
-                    o[f"p11_i{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 2])
-                    o[f"p11_q{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 3])
+            if VST and not skip_s2:
+                # bulk weighted contraction over the parked (TK, NR*BT)
+                # select results: full-sublane elementwise + reduce,
+                # one pass per (tap, plane, I/Q)
+                vi_all = v_scr[0]                          # (TK, NR*BT)
+                vq_all = v_scr[1]
+                if HALF:
+                    pr = slice(0, BT)
+                    er = slice(BT, 2 * BT)
+                    planes = [("d", 0)] + ([("p11", 1)] if use_pilot
+                                           else [])
+                    for name, pidx in planes:
+                        w_t = dcode_ref[c, pidx]           # (TK, BT)
+                        ws = dcode_ref[c, pidx + 2]        # shifted
+                        o[f"{name}_ie"] = jnp.sum(w_t * vi_all[:, er])
+                        o[f"{name}_qe"] = jnp.sum(w_t * vq_all[:, er])
+                        o[f"{name}_ip"] = jnp.sum(w_t * vi_all[:, pr])
+                        o[f"{name}_qp"] = jnp.sum(w_t * vq_all[:, pr])
+                        o[f"{name}_il"] = jnp.sum(ws * vi_all[:, er])
+                        o[f"{name}_ql"] = jnp.sum(ws * vq_all[:, er])
+                else:
+                    planes = [("d", 0)] + ([("p11", 1)] if use_pilot
+                                           else [])
+                    for name, pidx in planes:
+                        w_t = dcode_ref[c, pidx]           # (TK, BT)
+                        for t_i, x in enumerate(tapn):
+                            seg = slice(t_i * BT, (t_i + 1) * BT)
+                            o[f"{name}_i{x}"] = jnp.sum(
+                                w_t * vi_all[:, seg])
+                            o[f"{name}_q{x}"] = jnp.sum(
+                                w_t * vq_all[:, seg])
+                if not use_pilot:
+                    for x in tapn:
+                        o[f"p11_i{x}"] = o[f"d_i{x}"] * 0.0
+                        o[f"p11_q{x}"] = o[f"d_q{x}"] * 0.0
+            else:
+                # unpack: [early(d_i,d_q[,p_i,p_q]), prompt(...),
+                # late(...)]; the (1, BT) vector accumulators reduce to
+                # scalars here — the only vector->scalar sync of the
+                # whole channel
+                for t_i in range(3):
+                    o[f"d_i{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 0])
+                    o[f"d_q{tapn[t_i]}"] = jnp.sum(acc[t_i * nper + 1])
+                    if use_pilot:
+                        o[f"p11_i{tapn[t_i]}"] = jnp.sum(
+                            acc[t_i * nper + 2])
+                        o[f"p11_q{tapn[t_i]}"] = jnp.sum(
+                            acc[t_i * nper + 3])
 
             if WB:
                 # --- stage 2b: BOC(6,1) pilot boundary family -------------
@@ -1213,6 +1270,9 @@ def fused_track_block(cfg, block, data_tables, pilot11_tables,
             pltpu.VMEM((2, max(geo["TK61"], 1), geo["BT61"]),
                        jnp.float32),                      # p61 weight ring
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(((2, geo["TK"], geo["n_ramps"] * geo["BT"])
+                        if geo["VST"] else (2, 8, 128)),
+                       jnp.float32),                      # v-store scratch
         ],
         interpret=interpret,
     )(cursor0, adv_int,
