@@ -31,6 +31,13 @@ def main(argv=None):
                    help="print raw-data statistics before processing")
     p.add_argument("--checkpoint", help="write tracking checkpoint here")
     p.add_argument("--resume", help="resume PVT from a tracking checkpoint")
+    p.add_argument("--resample", action="store_true",
+                   help="bandpass-decimate before acquisition "
+                        "(device-side FFT conv; acquisition.m:52-124)")
+    p.add_argument("--wb-code-blend", choices=("composite", "nb"),
+                   help="B1C wideband code-DLL blend (see Settings)")
+    p.add_argument("--utm-datum", choices=("wgs84", "ed50"),
+                   help="UTM E/N datum (ed50 = reference cart2utm parity)")
     args = p.parse_args(argv)
 
     from bds3_tpu.config import FileType, TrackMode, b1c_settings, b2a_settings
@@ -58,6 +65,12 @@ def main(argv=None):
             int(x) for x in args.prns.split(","))
     if args.track_mode is not None:
         overrides["track_mode"] = TrackMode(args.track_mode)
+    if args.resample:
+        overrides["resampling"] = True
+    if args.wb_code_blend:
+        overrides["wb_code_blend"] = args.wb_code_blend
+    if args.utm_datum:
+        overrides["utm_datum"] = args.utm_datum
     s = (b2a_settings if args.signal == "b2a" else b1c_settings)(**overrides)
 
     f = IFDataFile.open(args.file, s.file_type, s.skip_samples)
