@@ -67,3 +67,27 @@ def test_synthesize_if_segmented_continuity():
     b = synthesize_if(s, sats, n_ms=3.0, noise_std=0.0, seed=5,
                       start_sample=len(a))
     assert np.array_equal(whole, np.concatenate([a, b]))
+
+
+def test_track_deadline_returns_partial():
+    """track(deadline_s=0) with sync_each_block must return after the
+    first block with partial (but valid) epochs instead of stalling a
+    fixed-epoch schedule (the streaming bench's IO-collapse guard)."""
+    import numpy as np
+
+    from bds3_tpu.config import b2a_settings
+    from bds3_tpu.io import SatParams, synthesize_if
+    from bds3_tpu.track.driver import track
+    from bds3_tpu.track.state import ChannelInit
+
+    s = b2a_settings(sampling_freq=8e6, intermediate_freq=2e6)
+    sat = SatParams(prn=7, doppler_hz=500.0, code_phase_chips=0.0,
+                    amplitude=0.8)
+    sig = synthesize_if(s, [sat], n_ms=130.0, noise_std=1.0, seed=4)
+    init = ChannelInit(prn=7, acquired_freq=2e6 + 500.0, code_phase=0,
+                      peak_metric=2.0)
+    res = track(np.asarray(sig), s, [init], n_epochs=120,
+                epochs_per_block=30, sync_each_block=True, deadline_s=0.0)
+    # one block of 30 epochs completed, the rest cut by the deadline
+    assert res.n_epochs == 30
+    assert np.isfinite(res.outputs["d_ip"]).all()
