@@ -173,6 +173,10 @@ def _geometry(cfg) -> dict:
         return 256
 
     bt = pick_bt(m, inv0, kb, "FUSED_BT")
+    # clamp the unroll group to the raw tile count: a group larger than
+    # the tile count would PAD tiles (big-BT geometries have few tiles;
+    # padding doubled the work at bt=512 before this clamp)
+    s2_group = min(s2_group, max(_round_up(kb, bt) // bt, 1))
     tk = _round_up(_round_up(kb, bt) // bt, s2_group)
     kp = tk * bt
     s_rows = row_span(m, inv0, bt)
