@@ -97,6 +97,15 @@ class LazyOutputs:
     def keys(self):
         return self._idx.keys()
 
+    def block_until_ready(self):
+        """Wait for the device computation WITHOUT downloading: a sync
+        point for throughput timing (np.asarray of even one column pays
+        a full relay round trip, ~29 ms warm on the dev link)."""
+        import jax
+
+        jax.block_until_ready(self._stacked)
+        return self
+
     def realize(self) -> dict:
         """Download the packed array ONCE and return plain numpy (C, E)
         arrays.  Use before host-side analysis loops: per-channel

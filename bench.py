@@ -166,7 +166,9 @@ def bench_tracking(name, s, sig_dev, inits, n_epochs, epochs_per_block,
         res = track(sig_dev, s, inits, n_epochs=n_epochs,
                     epochs_per_block=epochs_per_block,
                     correlator=correlator, download=False)
-        np.asarray(res.outputs["d_ip"][:, -200:])       # sync each pass
+        # device-side sync: downloading even one column costs a ~29 ms
+        # relay round trip per pass, which is NOT tracking work
+        res.outputs.block_until_ready()
         walls.append(time.time() - t0)
     # lock evidence: the repo's own VSM C/N0 + NBP/NBD PLL lock detector
     # (observe/cn0.py, Calc_CNo_PLD.m parity) — not a prompt-power
