@@ -152,3 +152,21 @@ class TestGLRTNoisePower:
         with warnings.catch_warnings():
             warnings.simplefilter("error")
             glrt_noise_power(x.astype(np.complex64))
+
+
+def test_clear_acq_caches():
+    """clear_acq_caches drops the device/host table caches (the
+    documented release valve for multi-config runs)."""
+    import numpy as np
+
+    from bds3_tpu.acquire.pcps import (
+        _device_acq_tables, clear_acq_caches, full_code_tables,
+    )
+    from bds3_tpu.config import b2a_settings
+
+    s = b2a_settings(sampling_freq=5e6, intermediate_freq=1.25e6)
+    full_code_tables(s, np.array([1, 2]))
+    _device_acq_tables(s, (1, 2))
+    assert _device_acq_tables.cache_info().currsize >= 1
+    clear_acq_caches()
+    assert _device_acq_tables.cache_info().currsize == 0
