@@ -66,13 +66,14 @@ def b2a_pilot_secondary(prn: int) -> np.ndarray:
     section 5.2.3: truncated Weil-1021, one chip per 1 ms code period).
 
     The reference receiver has no counterpart — its tracker never uses
-    the pilot secondary.  NOTE: the per-PRN (w, p) parameters are a
-    placeholder, not the ICD broadcast values (no source available in
-    this environment); see icd_tables.B2A_PILOT_SECONDARY_WP.
+    the pilot secondary.  The per-PRN (w, p) table resolves through
+    signals.user_tables (user-supplied table > env file > placeholder,
+    with a loud PlaceholderTableWarning on the placeholder).
     """
+    from bds3_tpu.signals.user_tables import b2a_pilot_secondary_wp
     from bds3_tpu.signals.weil import weil_code
 
-    w, p = icd.B2A_PILOT_SECONDARY_WP[prn - 1]
+    w, p = b2a_pilot_secondary_wp()[prn - 1]
     return weil_code(
         icd.B2A_PILOT_SECONDARY_LEGENDRE_N, w, p,
         icd.B2A_PILOT_SECONDARY_LENGTH,
