@@ -34,7 +34,8 @@ def main(argv=None):
     p.add_argument("--resample", action="store_true",
                    help="bandpass-decimate before acquisition "
                         "(device-side FFT conv; acquisition.m:52-124)")
-    p.add_argument("--wb-code-blend", choices=("composite", "nb"),
+    p.add_argument("--wb-code-blend",
+                   choices=("composite", "nb", "split", "dotprod"),
                    help="B1C wideband code-DLL blend (see Settings)")
     p.add_argument("--utm-datum", choices=("wgs84", "ed50"),
                    help="UTM E/N datum (ed50 = reference cart2utm parity)")

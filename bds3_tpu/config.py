@@ -92,6 +92,13 @@ class Settings:
     #   "nb" - data + BOC(1,1)-pilot 11/29 code blend (the NB DLL) with
     #     the composite pilot kept for the CARRIER loop; recovers <2 m
     #     fixes while preserving the wideband carrier advantage.
+    #   "split" - per-component envelope discriminators (29/33 BOC(1,1)
+    #     + 4/33 BOC(6,1)), ICD power-weighted: the BOC(6,1) bank stays
+    #     in the code loop without the composite envelope's
+    #     BOC11xBOC61 cross term.
+    #   "dotprod" - coherent normalized dot-product discriminator on
+    #     the composite correlators (linear in E-L, no envelope
+    #     rectification).
     wb_code_blend: str = "composite"
 
     # --- navigation ------------------------------------------------------
@@ -151,6 +158,13 @@ def b1c_settings(**overrides) -> Settings:
         int_time=0.01,
         nav_sol_period_ms=200,
         cn0_interval=50,
+        # Device-side bandpass-decimate acquisition by default: ~6x faster
+        # at the full dataset rate with identical detections (measured,
+        # docs/PERF.md).  The reference ships resampling off
+        # (initSettings.m:102 `resamplingflag = 0`) — pass
+        # resampling=False for the full-grid parity configuration.
+        resampling=True,
+        resampling_threshold=15e6,
     )
     base.update(overrides)
     return Settings(**base)

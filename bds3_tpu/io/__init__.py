@@ -5,4 +5,8 @@ from bds3_tpu.io.scenario import (  # noqa: F401
     make_scenario,
     synthesize_scenario,
 )
-from bds3_tpu.io.synth import SatParams, synthesize_if  # noqa: F401
+from bds3_tpu.io.synth import (  # noqa: F401
+    SatParams,
+    amplitude_for_cn0,
+    synthesize_if,
+)

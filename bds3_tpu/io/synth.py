@@ -52,6 +52,26 @@ class SatParams:
     nav_bits: np.ndarray | None = None  # +-1 data symbols (cycled)
 
 
+def amplitude_for_cn0(settings: Settings, cn0_db: float,
+                      noise_std: float = 2.0) -> float:
+    """SatParams.amplitude that puts the DATA channel at cn0_db [dB-Hz].
+
+    Real-IF sampling at fs spreads noise power noise_std^2 over the
+    one-sided band fs/2, so N0 = 2.noise_std^2/fs; a data component of
+    amplitude A_d on a real carrier carries power A_d^2/2, giving
+    C/N0 = A_d^2.fs/(4.noise_std^2).  B2a's data component uses the full
+    SatParams.amplitude; B1C's data channel gets sqrt(11/44) of it
+    (QMBOC power split above), hence the 2x factor.
+
+    Calibration check (matches observe/cn0.py VSM measurements on the
+    bench captures): B2a amplitude 0.65, noise 2.0 at 99.375 Msps
+    -> 64.2 dB-Hz; B1C 0.22 -> 48.8 dB-Hz.
+    """
+    a_d = math.sqrt(10.0 ** (cn0_db / 10.0) * 4.0 * noise_std ** 2
+                    / settings.sampling_freq)
+    return a_d * (2.0 if settings.signal == Signal.B1C else 1.0)
+
+
 @dataclasses.dataclass
 class _Component:
     waveform: np.ndarray       # int8 entries, entries_per_chip per chip

@@ -107,14 +107,17 @@ def cn0_pld_series(track, ch: int, interval: int | None = None):
            ("data_cn0", "pilot_cn0", "total_cn0", "data_lock", "pilot_lock")}
     for w in range(n):
         sl = slice(w * interval, (w + 1) * interval)
+        def db(x):
+            return 10 * np.log10(x) if np.isfinite(x) and x > 0 else np.nan
+
         d = vsm_cn0(ip[sl], qp[sl], s.int_time)
-        out["data_cn0"][w] = 10 * np.log10(d) if np.isfinite(d) else np.nan
+        out["data_cn0"][w] = db(d)
         out["data_lock"][w] = pll_lock(ip[sl], qp[sl])
         p = 0.0
         if has_pilot:
             p = vsm_cn0(pi[sl], pq[sl], s.int_time)
-            out["pilot_cn0"][w] = 10 * np.log10(p) if np.isfinite(p) else np.nan
+            out["pilot_cn0"][w] = db(p)
             out["pilot_lock"][w] = pll_lock(pi[sl], pq[sl])
         total = d + (p if np.isfinite(p) else 0.0)
-        out["total_cn0"][w] = 10 * np.log10(total) if np.isfinite(total) else np.nan
+        out["total_cn0"][w] = db(total)
     return out

@@ -66,11 +66,22 @@ def run_receiver(
     prns=None,
     acq_results: AcqResults | None = None,
     verbose: bool = True,
+    device_resident: bool | str = "auto",
+    transport: str = "none",
 ) -> ReceiverResults:
     """Full cold-start pipeline on an IF capture.
 
     Pass `acq_results` to reuse a previous acquisition (the reference's
     settings.skipAcquisition workflow, postProcessing.m:81-85).
+
+    device_resident: upload the whole capture to device HBM up front so
+    tracking runs as ONE compiled lax.scan dispatch (track/driver.py's
+    scan path) instead of per-block host-orchestrated uploads.  "auto"
+    takes this path on TPU for real int8 captures that fit the scan
+    path's int32 indexing (< 2 GSa); larger captures stream per block.
+    transport: "int4" ships the capture 4-bit packed (half the
+    host->device bytes; io/transport.py) — only used when the capture is
+    uploaded up front.
     """
     timings = {}
     if isinstance(signal, IFDataFile):
@@ -79,6 +90,25 @@ def run_receiver(
             signal = raw[:, 0].astype(np.float32) + 1j * raw[:, 1].astype(np.float32)
         else:
             signal = signal.data
+
+    import jax
+
+    if device_resident == "auto":
+        device_resident = (
+            jax.devices()[0].platform == "tpu"
+            and not np.iscomplexobj(signal)
+            and np.dtype(getattr(signal, "dtype", np.float32)) == np.int8
+            and len(signal) < 2**31 - 2**28
+        )
+    if device_resident and not isinstance(signal, jax.Array):
+        from bds3_tpu.io.transport import upload_capture
+
+        t0 = time.time()
+        signal = upload_capture(signal, packing=transport)
+        timings["upload_s"] = time.time() - t0
+        if verbose:
+            print(f"[upload] capture -> device in "
+                  f"{timings['upload_s']:.2f}s (transport={transport})")
 
     t0 = time.time()
     if acq_results is not None:

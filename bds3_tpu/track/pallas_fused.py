@@ -1044,6 +1044,24 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     code_p11 = eml(o["p11_ie"], o["p11_qe"],
                                    o["p11_il"], o["p11_ql"]) * (1.0 - spc)
                     code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
+                elif cfg.wb_code_blend == "split":
+                    # per-component envelopes, ICD power-weighted
+                    # (scan.py "split" note: cross-term-free)
+                    code_p11 = eml(o["p11_ie"], o["p11_qe"],
+                                   o["p11_il"], o["p11_ql"])
+                    code_p61 = eml(o["p61_ie"], o["p61_qe"],
+                                   o["p61_il"], o["p61_ql"])
+                    code_p = ((29.0 * code_p11 + 4.0 * code_p61) / 33.0) \
+                        * (1.0 - spc)
+                    code_err = code_d * dllf + code_p * (1.0 - dllf)
+                elif cfg.wb_code_blend == "dotprod":
+                    # coherent normalized dot-product on the composite
+                    # (scan.py "dotprod" note)
+                    dp_num = (o["p_ie"] - o["p_il"]) * o["p_ip"] \
+                        + (o["p_qe"] - o["p_ql"]) * o["p_qp"]
+                    dp_den = o["p_ip"] ** 2 + o["p_qp"] ** 2
+                    code_p = 0.25 * dp_num / dp_den * (1.0 - spc)
+                    code_err = code_d * dllf + code_p * (1.0 - dllf)
                 else:
                     code_p = eml(o["p_ie"], o["p_qe"],
                                  o["p_il"], o["p_ql"]) * (1.0 - spc)

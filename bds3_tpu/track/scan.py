@@ -253,6 +253,31 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start,
             code_p11 = eml(out["p11_ie"], out["p11_qe"], out["p11_il"],
                            out["p11_ql"]) * (1.0 - cfg.spacing)
             code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
+        elif cfg.wb_code_blend == "split":
+            # Per-component envelope discriminators, ICD power-weighted
+            # (29/33 BOC(1,1) + 4/33 BOC(6,1)): keeps the BOC(6,1) bank
+            # in the code loop but drops the BOC11xBOC61 cross term the
+            # composite envelope carries (the term behind its
+            # Doppler-dependent equilibrium — see Settings.wb_code_blend)
+            code_p11 = eml(out["p11_ie"], out["p11_qe"], out["p11_il"],
+                           out["p11_ql"])
+            code_p61 = eml(out["p61_ie"], out["p61_qe"], out["p61_il"],
+                           out["p61_ql"])
+            code_p = ((29.0 * code_p11 + 4.0 * code_p61) / 33.0) \
+                * (1.0 - cfg.spacing)
+            f = cfg.dll_factor
+            code_err = code_d * f + code_p * (1.0 - f)
+        elif cfg.wb_code_blend == "dotprod":
+            # Coherent normalized dot-product discriminator on the
+            # composite correlators: D = ((E-L) . P) / |P|^2 — linear in
+            # the early-late difference, so the |.| envelope's cross-term
+            # rectification never enters
+            dp_num = (out["p_ie"] - out["p_il"]) * out["p_ip"] \
+                + (out["p_qe"] - out["p_ql"]) * out["p_qp"]
+            dp_den = out["p_ip"] ** 2 + out["p_qp"] ** 2
+            code_p = 0.25 * dp_num / dp_den * (1.0 - cfg.spacing)
+            f = cfg.dll_factor
+            code_err = code_d * f + code_p * (1.0 - f)
         else:
             code_p = eml(out["p_ie"], out["p_qe"], out["p_il"],
                          out["p_ql"]) * (1.0 - cfg.spacing)

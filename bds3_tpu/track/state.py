@@ -51,7 +51,8 @@ class TrackConfig:
     pf2: float
     pf1: float
     dll_factor: float         # WB data/pilot DLL weight; unused otherwise
-    wb_code_blend: str        # WB code DLL: "composite" | "nb" (see config)
+    wb_code_blend: str        # WB code DLL: "composite" | "nb" | "split"
+                              # | "dotprod" (see config)
     complex_input: bool
     epochs_per_block: int
     correlator: str = "bucket"  # "bucket" (prefix-sum) or "gather"

@@ -250,7 +250,7 @@ def bench_acquisition(name, s, sig, n_prns, warm_pass=True):
 RX_TRUTH = np.array([-1288398.0, -4721697.0, 4078625.0])
 
 
-def _score_receiver(name, s, res, walls, fs):
+def _score_receiver(name, s, res, walls, fs, err_gate_m=None):
     n_ch = len(res.channels)
     processed = res.track.n_epochs * s.int_time if res.track else 0.0
     corr = res.track.correlator if res.track else "none"
@@ -280,6 +280,13 @@ def _score_receiver(name, s, res, walls, fs):
         "timings_warm": {k: round(v, 2) for k, v in res.timings.items()
                          if isinstance(v, (int, float))},
     }
+    # accuracy gate: a regression past the north-star tolerance fails the
+    # artifact loudly (degraded), not just drifts a number (VERDICT r4 #8)
+    if err_gate_m is not None and not (err_med < err_gate_m):
+        DETAIL["degraded"] = True
+        DETAIL["notes"].append(
+            f"{name}: median 3D err {err_med:.2f} m exceeds the"
+            f" {err_gate_m:.1f} m gate")
 
 
 def bench_full_receiver(cold_and_warm=True):
@@ -323,7 +330,7 @@ def bench_full_receiver(cold_and_warm=True):
         t0 = time.time()
         res = run_receiver(cap, s, epochs_per_block=2000, verbose=False)
         walls[label] = time.time() - t0
-    _score_receiver("full_receiver_b2a", s, res, walls, fs)
+    _score_receiver("full_receiver_b2a", s, res, walls, fs, err_gate_m=1.0)
 
     # pilot-secondary frame sync on the tracked channels (ICD Weil-100
     # overlay; capability the reference lacks — observe/secondary.py)
@@ -384,7 +391,7 @@ def bench_full_receiver_b1c():
     t0 = time.time()
     res = run_receiver(cap, s, epochs_per_block=500, verbose=False)
     walls = {"warm": time.time() - t0}
-    _score_receiver("full_receiver_b1c", s, res, walls, fs)
+    _score_receiver("full_receiver_b1c", s, res, walls, fs, err_gate_m=2.0)
 
 
 def bench_streaming(s):
@@ -589,20 +596,22 @@ def main():
     # 201 Doppler bins x 10 ms coherent at the published dataset rate
     # (BDS-3_B1C/acquisition.m:131-235 envelope)
     if sig1 is not None:
-        _stage("acquisition_b1c", 35,
-               lambda: bench_acquisition("acquisition_b1c", s1, sig1, 63,
-                                         warm_pass=remaining() > 120))
-
-        # device-side bandpass-decimate variant (acquisition.m:52-124's
-        # own strategy, run as one XLA FFT-conv + gather instead of host
-        # filtfilt): ~6x faster than the full grid, same detections
-        import dataclasses as _dc
-
-        s1r = _dc.replace(s1, resampling=True, resampling_threshold=15e6)
+        # preset default since round 5: device-side bandpass-decimate
+        # (acquisition.m:52-124's own strategy, run as one XLA FFT-conv +
+        # gather instead of host filtfilt): ~6x faster, same detections
         _stage("acquisition_b1c_resampled", 25,
-               lambda: bench_acquisition("acquisition_b1c_resampled", s1r,
+               lambda: bench_acquisition("acquisition_b1c_resampled", s1,
                                          sig1, 63,
                                          warm_pass=remaining() > 60))
+
+        # full-grid parity configuration (the reference ships
+        # resamplingflag = 0, initSettings.m:102)
+        import dataclasses as _dc
+
+        s1f = _dc.replace(s1, resampling=False)
+        _stage("acquisition_b1c", 35,
+               lambda: bench_acquisition("acquisition_b1c", s1f, sig1, 63,
+                                         warm_pass=remaining() > 120))
 
     # ---- capture-scale streaming LAST (IO-bound, budget-capped) ---------
     _stage("streaming_49s", 60, lambda: bench_streaming(s2))

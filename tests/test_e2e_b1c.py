@@ -70,4 +70,7 @@ class TestB1CEndToEnd:
             + (nav.z[ok] - RX_TRUTH[2]) ** 2
         )
         med = np.median(err)
-        assert med < 3.0, f"median 3D error {med:.2f} m (all: {err.round(2)})"
+        # Gate at the north star's tolerance (BASELINE.md: ~1 m vs the
+        # MATLAB reference; bench full_receiver_b1c measures ~1.7 m median
+        # at 33 Msps WB).  3.0 m would not catch a 2.5 m regression.
+        assert med < 2.0, f"median 3D error {med:.2f} m (all: {err.round(2)})"
