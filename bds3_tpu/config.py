@@ -92,16 +92,30 @@ class Settings:
     #   "nb" - data + BOC(1,1)-pilot 11/29 code blend (the NB DLL) with
     #     the composite pilot kept for the CARRIER loop; recovers <2 m
     #     fixes while preserving the wideband carrier advantage.
-    #   "split" - per-component envelope discriminators (29/33 BOC(1,1)
-    #     + 4/33 BOC(6,1)), ICD power-weighted: the BOC(6,1) bank stays
-    #     in the code loop without the composite envelope's
-    #     BOC11xBOC61 cross term.
+    #   "split" - per-component envelope discriminators, each slope-
+    #     normalized, blended 0.3 BOC(1,1) + 0.7 BOC(6,1): the BOC(6,1)
+    #     bank runs at its own narrow spacing (dll_spacing_boc61, inside
+    #     its +-1/23-chip main peak — at the shared 0.06 spacing its E/L
+    #     taps sit past the ACF sign reversal and the blend has a false
+    #     equilibrium) and, being ~12x steeper than BOC(1,1), cuts code
+    #     noise ~3x while BOC(1,1) keeps the pull-in range.  No
+    #     composite cross term, so no Doppler-dependent bias.
     #   "dotprod" - coherent normalized dot-product discriminator on
     #     the composite correlators (linear in E-L, no envelope
     #     rectification).
     wb_code_blend: str = "composite"
+    # E-L half-spacing [chips] for the BOC(6,1) correlator bank in
+    # wb_code_blend="split" (must sit inside the +-1/23-chip main peak
+    # and be <= dll_spacing); other modes keep the shared dll_spacing
+    # for reference parity (WB_tracking.m uses one spacing everywhere).
+    dll_spacing_boc61: float = 0.02
 
     # --- navigation ------------------------------------------------------
+    # Soft 64-ary LDPC(96,48) decode of B-CNAV2 frames whose hard
+    # systematic read fails CRC (navmsg/ldpc.py — extension; the
+    # reference always skips LDPC, BCNAV2decoding.m:129-132).  Off by
+    # default for parity.
+    ldpc_decode: bool = False
     nav_sol_period_ms: int = 200
     elevation_mask_deg: float = 5.0
     use_tropo_corr: bool = True

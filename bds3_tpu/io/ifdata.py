@@ -88,4 +88,37 @@ def probe_stats(f: IFDataFile, n: int = 1_000_000) -> dict:
         "hist": hist,
         "hist_edges": edges,
         "spectrum_peak_bin": int(np.argmax(spec[1:]) + 1),
+        # probeData.m:86-170's remaining panels: a time-domain snippet
+        # and the Welch-averaged PSD (pwelch(data, 32768, 2048, 32768, fs))
+        "time_snippet": np.asarray(w[:2000]).copy(),
+        "welch": welch_psd(np.asarray(w, dtype=np.float64)),
+        "complex": bool(np.iscomplexobj(w)),
     }
+
+
+def welch_psd(x: np.ndarray, nseg: int = 32768, overlap: int = 2048) -> dict:
+    """Segment-averaged Hann periodogram (the numeric core of probeData.m's
+    `pwelch(data, 32768, 2048, 32768, fs)` panel).  Returns one-sided bins
+    for real input, fftshifted two-sided for complex; frequencies are in
+    cycles/sample (multiply by fs for Hz)."""
+    step = nseg - overlap
+    n_seg = max((len(x) - overlap) // step, 1)
+    nseg = min(nseg, len(x))
+    win = np.hanning(nseg)
+    scale = 1.0 / (win ** 2).sum() / n_seg
+    cplx = np.iscomplexobj(x)
+    nbins = nseg if cplx else nseg // 2 + 1
+    acc = np.zeros(nbins)
+    for i in range(n_seg):
+        seg = x[i * step: i * step + nseg]
+        if len(seg) < nseg:
+            break
+        segw = seg * win
+        f = np.fft.fft(segw) if cplx else np.fft.rfft(segw)
+        acc += np.abs(f) ** 2 * scale
+    if cplx:
+        acc = np.fft.fftshift(acc)
+        freqs = np.fft.fftshift(np.fft.fftfreq(nseg))
+    else:
+        freqs = np.arange(nbins) / nseg
+    return {"psd": acc, "freq_cycles": freqs}

@@ -115,14 +115,22 @@ def build_bcnav2_message(eph: Ephemeris, mtype: int, sow_s: float) -> np.ndarray
 
 def bcnav2_symbols(messages: list[np.ndarray], seed: int = 1) -> np.ndarray:
     """Messages -> concatenated +-1 symbol stream (600 symbols each:
-    24-symbol preamble + 576 'LDPC' symbols, systematic first 288)."""
-    rng = np.random.default_rng(seed)
+    24-symbol preamble + 576 LDPC codeword symbols, systematic first
+    288).  The parity half is REAL 64-ary LDPC(96,48) parity
+    (navmsg/ldpc.py) — the systematic-read receiver ignores it exactly
+    as the reference does (BCNAV2decoding.m:129-132), and the
+    ldpc_decode extension exploits it.  `seed` is kept for call
+    compatibility (the old placeholder filled this half with seeded
+    noise)."""
+    del seed
+    from bds3_tpu.navmsg.ldpc import encode as ldpc_encode
+
     out = []
     for msg in messages:
+        cw = ldpc_encode(np.asarray(msg, dtype=np.uint8))
         sym = np.empty(600, dtype=np.int8)
         sym[:24] = PREAMBLE.astype(np.int8)
-        sym[24 : 24 + 288] = 1 - 2 * msg.astype(np.int8)
-        sym[24 + 288 :] = 1 - 2 * rng.integers(0, 2, 288).astype(np.int8)
+        sym[24:] = 1 - 2 * cw.astype(np.int8)
         out.append(sym)
     return np.concatenate(out)
 

@@ -143,15 +143,48 @@ def sky_plot(nav, prns=None):
 
 
 def plot_probe(stats: dict, fs: float):
-    """Raw IF data sanity plots (probeData.m:86-170)."""
-    fig, axs = plt.subplots(1, 2, figsize=(11, 4))
+    """Raw IF data sanity plots — all of probeData.m:86-170's panels:
+    time-domain snippet, Welch PSD (pwelch 32768/2048 equivalent), and
+    amplitude histogram with the moments."""
+    fig, axs = plt.subplots(2, 2, figsize=(11, 7))
+
+    snip = stats.get("time_snippet")
+    ax = axs[0][0]
+    if snip is not None and len(snip):
+        t_ms = np.arange(len(snip)) / fs * 1e3
+        if stats.get("complex"):
+            ax.plot(t_ms, np.real(snip), lw=0.7, label="I")
+            ax.plot(t_ms, np.imag(snip), lw=0.7, label="Q")
+            ax.legend(loc="upper right", fontsize=8)
+        else:
+            ax.plot(t_ms, snip, lw=0.7)
+    ax.set_title("Time domain")
+    ax.set_xlabel("Time [ms]")
+
+    ax = axs[0][1]
+    w = stats.get("welch")
+    if w is not None:
+        f_mhz = w["freq_cycles"] * fs / 1e6
+        psd_db = 10 * np.log10(np.maximum(w["psd"], 1e-20))
+        ax.plot(f_mhz, psd_db, lw=0.8)
+    ax.axvline(stats["spectrum_peak_bin"] * fs / (1 << 18) / 1e6,
+               color="r", ls="--", lw=0.8)
+    ax.set_title("Welch PSD [dB]")
+    ax.set_xlabel("Frequency [MHz]")
+
+    ax = axs[1][0]
     centers = (stats["hist_edges"][:-1] + stats["hist_edges"][1:]) / 2
-    axs[0].bar(centers, stats["hist"], width=1.0)
-    axs[0].set_title(f"Histogram (mean {stats['mean']:.2f}, "
-                     f"std {stats['std']:.2f})")
-    axs[0].set_xlim(-40, 40)
-    axs[1].axvline(stats["spectrum_peak_bin"] * fs / (1 << 18) / 1e6, color="r")
-    axs[1].set_title("Spectrum peak [MHz]")
+    ax.bar(centers, stats["hist"], width=1.0)
+    ax.set_title(f"Histogram (mean {stats['mean']:.2f}, "
+                 f"std {stats['std']:.2f})")
+    ax.set_xlim(-40, 40)
+
+    ax = axs[1][1]
+    ax.axis("off")
+    ax.text(0.05, 0.8,
+            f"mean {stats['mean']:+.3f}\nstd  {stats['std']:.3f}\n"
+            f"min  {stats['min']:.0f}\nmax  {stats['max']:.0f}",
+            family="monospace", fontsize=11, va="top")
     fig.tight_layout()
     return fig
 

@@ -67,7 +67,9 @@ def post_navigation(track, settings: Settings) -> NavSolutions | None:
     for ch in range(C):
         prn = int(track.prns[ch])
         if settings.signal == Signal.B2A:
-            eph, sfs, t = decode_bcnav2(track.outputs["d_ip"][ch])
+            eph, sfs, t = decode_bcnav2(
+                track.outputs["d_ip"][ch],
+                ldpc=getattr(settings, "ldpc_decode", False))
             ok = eph.has_b2a_requisites() and sfs is not None
         else:
             pilot = pilot_prompt_stream(track, ch)

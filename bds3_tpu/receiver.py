@@ -100,23 +100,28 @@ def run_receiver(
             and np.dtype(getattr(signal, "dtype", np.float32)) == np.int8
             and len(signal) < 2**31 - 2**28
         )
-    if device_resident and not isinstance(signal, jax.Array):
-        from bds3_tpu.io.transport import upload_capture
-
-        t0 = time.time()
-        signal = upload_capture(signal, packing=transport)
-        timings["upload_s"] = time.time() - t0
-        if verbose:
-            print(f"[upload] capture -> device in "
-                  f"{timings['upload_s']:.2f}s (transport={transport})")
 
     t0 = time.time()
     if acq_results is not None:
         acq = acq_results
     else:
+        # acquisition reads its window from the HOST source even on the
+        # device-resident path: its pipeline mixes host numpy stages with
+        # device FFTs, and a device-resident window turns those into
+        # ~100 s of per-op relay round trips (measured) vs ~1 s warm
         acq = acquire(signal[: acquisition_signal_length(settings)],
                       settings, prns)
     timings["acquire_s"] = time.time() - t0
+
+    if device_resident and not isinstance(signal, jax.Array):
+        from bds3_tpu.io.transport import upload_capture
+
+        t_up = time.time()
+        signal = upload_capture(signal, packing=transport)
+        timings["upload_s"] = time.time() - t_up
+        if verbose:
+            print(f"[upload] capture -> device in "
+                  f"{timings['upload_s']:.2f}s (transport={transport})")
     if verbose:
         det = ", ".join(
             f"{p}({m:.1f})" for p, m in

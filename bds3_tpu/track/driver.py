@@ -173,6 +173,7 @@ def track(
     download: bool = True,
     sync_each_block: bool = False,
     deadline_s: float | None = None,
+    transport: str = "none",
 ) -> TrackResults:
     """Track all channels for n_epochs integration periods.
 
@@ -195,6 +196,10 @@ def track(
     short read).  Only effective with sync_each_block=True (async
     dispatch otherwise outruns the clock) — IO-throttled streaming
     links can stall a fixed-epoch run far past any schedule.
+    transport: "int4" packs each host block to 4 bits before upload and
+    unpacks on device (io/transport.py — half the host->device bytes;
+    the lever when the link, not the kernel, bounds streaming).  Only
+    applies to real int8 host blocks on the per-block path.
     """
     import time as _time
 
@@ -326,6 +331,12 @@ def track(
                     )
             if not complex_input and block.dtype != np.int8:
                 block = block.astype(np.float32)
+            if transport == "int4" and not isinstance(block, jax.Array) \
+                    and block.dtype == np.int8:
+                from bds3_tpu.io.transport import pack_int4, unpack_int4
+
+                block = unpack_int4(jnp.asarray(pack_int4(block)),
+                                    block_len)
             new_state, outs = track_block(
                 cfg, jnp.asarray(block), data_t, p11_t, p61_t,
                 ckd_i, ckd_f, ck61_i, ck61_f, consts, state,

@@ -335,6 +335,8 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
     q0_frac = np.float32(cfg.q0_frac)
     q0_step_minus_l = np.float32(cfg.q0_int * cfg.step_base - cfg.code_length)
     spc = float(cfg.spacing)
+    # "split" blend: BOC(6,1) bank at its own narrow spacing (scan.py note)
+    spc61 = float(cfg.spacing61) if cfg.wb_code_blend == "split" else spc
     inv2pi = np.float32(1.0 / (2.0 * np.pi))
     is_b1c = cfg.signal == Signal.B1C
     use_pilot = cfg.use_pilot
@@ -954,7 +956,7 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                     jbase = ki0 * inv61_int + tbi + 1 + off
 
                     j_parts, j0s = [], []
-                    for r_off in (-spc, 0.0, spc):
+                    for r_off in (-spc61, 0.0, spc61):
                         base = rem_code + r_off
                         bmi = (base * m61) * inv61
                         g0 = tbf + ki0_f * dinv61 - bmi    # scalar
@@ -1045,14 +1047,17 @@ def _make_kernel(cfg, geo, n_channels, nrows_b2):
                                    o["p11_il"], o["p11_ql"]) * (1.0 - spc)
                     code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
                 elif cfg.wb_code_blend == "split":
-                    # per-component envelopes, ICD power-weighted
-                    # (scan.py "split" note: cross-term-free)
+                    # per-component envelopes, slope-normalized 0.3/0.7
+                    # blend with the BOC(6,1) bank at spc61 (scan.py
+                    # "split" note)
+                    g61 = np.float32(
+                        3.0 * (1.0 - spc) * (1.0 - 23.0 * spc61)
+                        / (23.0 * (1.0 - 3.0 * spc)))
                     code_p11 = eml(o["p11_ie"], o["p11_qe"],
-                                   o["p11_il"], o["p11_ql"])
+                                   o["p11_il"], o["p11_ql"]) * (1.0 - spc)
                     code_p61 = eml(o["p61_ie"], o["p61_qe"],
-                                   o["p61_il"], o["p61_ql"])
-                    code_p = ((29.0 * code_p11 + 4.0 * code_p61) / 33.0) \
-                        * (1.0 - spc)
+                                   o["p61_il"], o["p61_ql"]) * g61
+                    code_p = 0.3 * code_p11 + 0.7 * code_p61
                     code_err = code_d * dllf + code_p * (1.0 - dllf)
                 elif cfg.wb_code_blend == "dotprod":
                     # coherent normalized dot-product on the composite

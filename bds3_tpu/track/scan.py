@@ -204,9 +204,13 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start,
     if cfg.wideband:
         taps.append(("p61", tables["pilot61"], cfg.m_p61, tables["ck_p61"]))
     for name, tab, m, ck in taps:
-        out[f"{name}_ie"], out[f"{name}_qe"] = correlate(tab, m, ck, -spc)
+        # "split" runs the BOC(6,1) bank at its own narrow spacing —
+        # inside the +-1/23-chip ACF main peak (config.dll_spacing_boc61)
+        fspc = jnp.float32(cfg.spacing61) \
+            if (name == "p61" and cfg.wb_code_blend == "split") else spc
+        out[f"{name}_ie"], out[f"{name}_qe"] = correlate(tab, m, ck, -fspc)
         out[f"{name}_ip"], out[f"{name}_qp"] = correlate(tab, m, ck, 0.0)
-        out[f"{name}_il"], out[f"{name}_ql"] = correlate(tab, m, ck, spc)
+        out[f"{name}_il"], out[f"{name}_ql"] = correlate(tab, m, ck, fspc)
 
     # --- discriminators ---------------------------------------------------
     inv2pi = 1.0 / (2.0 * np.pi)
@@ -254,17 +258,24 @@ def _epoch(cfg: TrackConfig, tables, consts_row, state_row, win, start,
                            out["p11_ql"]) * (1.0 - cfg.spacing)
             code_err = (code_d * 11.0 + code_p11 * 29.0) / 40.0
         elif cfg.wb_code_blend == "split":
-            # Per-component envelope discriminators, ICD power-weighted
-            # (29/33 BOC(1,1) + 4/33 BOC(6,1)): keeps the BOC(6,1) bank
-            # in the code loop but drops the BOC11xBOC61 cross term the
-            # composite envelope carries (the term behind its
-            # Doppler-dependent equilibrium — see Settings.wb_code_blend)
+            # Per-component envelope discriminators, slope-normalized
+            # then blended 0.3/0.7: the BOC(6,1) bank runs at its own
+            # narrow spacing (its +-0.06 taps sit past the ACF sign
+            # reversal — a false equilibrium, measured +-6.4 m) and its
+            # ~12x-steeper main peak carries most of the code-loop
+            # weight; BOC(1,1) keeps the pull-in range.  No composite
+            # cross term, so no Doppler-dependent bias (measured: the
+            # composite blend swings -1.1..+1.2 m over +-4 kHz).
+            # eml slope = -R'(d)/R(d): BOC(1,1) 3/(1-3d); BOC(6,1)
+            # 23/(1-23*d61) inside |tau| < 1/23 chip.
+            d61 = cfg.spacing61
+            g61 = 3.0 * (1.0 - cfg.spacing) * (1.0 - 23.0 * d61) \
+                / (23.0 * (1.0 - 3.0 * cfg.spacing))
             code_p11 = eml(out["p11_ie"], out["p11_qe"], out["p11_il"],
-                           out["p11_ql"])
+                           out["p11_ql"]) * (1.0 - cfg.spacing)
             code_p61 = eml(out["p61_ie"], out["p61_qe"], out["p61_il"],
-                           out["p61_ql"])
-            code_p = ((29.0 * code_p11 + 4.0 * code_p61) / 33.0) \
-                * (1.0 - cfg.spacing)
+                           out["p61_ql"]) * g61
+            code_p = 0.3 * code_p11 + 0.7 * code_p61
             f = cfg.dll_factor
             code_err = code_d * f + code_p * (1.0 - f)
         elif cfg.wb_code_blend == "dotprod":

@@ -56,6 +56,8 @@ class TrackConfig:
     complex_input: bool
     epochs_per_block: int
     correlator: str = "bucket"  # "bucket" (prefix-sum) or "gather"
+    spacing61: float = 0.02   # BOC(6,1) E-L half spacing [chips], used by
+                              # the "split" blend only (config note)
 
     @property
     def use_pilot(self) -> bool:
@@ -168,6 +170,7 @@ def make_track_config(s: Settings, complex_input: bool = False,
         pf1=pf1,
         dll_factor=dll_factor,
         wb_code_blend=getattr(s, "wb_code_blend", "composite"),
+        spacing61=min(getattr(s, "dll_spacing_boc61", 0.02), s.dll_spacing),
         complex_input=complex_input,
         epochs_per_block=epochs_per_block,
         correlator=correlator,

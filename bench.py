@@ -289,6 +289,26 @@ def _score_receiver(name, s, res, walls, fs, err_gate_m=None):
             f" {err_gate_m:.1f} m gate")
 
 
+def probe_upload_mbs(n_bytes=100_000_000) -> float:
+    """Measured host->device upload bandwidth right now [MB/s].  The
+    relay's sustained rate swings 19 MB/s .. 1.4 GB/s between runs; the
+    bench re-probes before each IO-bound stage and picks the transport
+    accordingly."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = np.zeros(n_bytes, np.int8)
+    t0 = time.time()
+    jax.block_until_ready(jnp.asarray(probe))
+    return n_bytes / 1e6 / (time.time() - t0)
+
+
+def pick_transport(up_mbs: float) -> str:
+    """4-bit packed transport pays when the wire, not the host packing
+    pass (~500 MB/s), is the bottleneck."""
+    return "int4" if up_mbs < 200.0 else "none"
+
+
 def bench_full_receiver(cold_and_warm=True):
     """BASELINE config 4 (B2a): the complete pipeline producing a REAL
     fix — geometry-consistent 20 s scenario capture (decodable B-CNAV2
@@ -322,15 +342,20 @@ def bench_full_receiver(cold_and_warm=True):
             f"in {time.time()-t0:.0f}s")
         del sig
 
+    up_mbs = probe_upload_mbs()
+    transport = pick_transport(up_mbs)
     walls = {}
     res = None
     labels = ("cold", "warm") if cold_and_warm else ("warm",)
     for label in labels:
         cap = StreamingCapture(path)
         t0 = time.time()
-        res = run_receiver(cap, s, epochs_per_block=2000, verbose=False)
+        res = run_receiver(cap, s, epochs_per_block=2000, verbose=False,
+                           transport=transport)
         walls[label] = time.time() - t0
     _score_receiver("full_receiver_b2a", s, res, walls, fs, err_gate_m=1.0)
+    DETAIL["configs"]["full_receiver_b2a"]["relay_probe_mb_s"] = round(up_mbs, 1)
+    DETAIL["configs"]["full_receiver_b2a"]["transport"] = transport
 
     # pilot-secondary frame sync on the tracked channels (ICD Weil-100
     # overlay; capability the reference lacks — observe/secondary.py)
@@ -369,12 +394,12 @@ def bench_full_receiver_b1c():
         sampling_freq=fs, intermediate_freq=fs / 4, ms_to_process=26_000,
         use_tropo_corr=False, acq_satellite_list=tuple(range(1, 7)),
         num_channels=5,
-        # NB-style 11/29 code DLL (composite carrier kept): the
-        # reference's composite-pilot E-L blend has a Doppler-dependent
-        # equilibrium (BOC(6,1) oscillatory ACF at 0.06-chip spacing)
-        # measured at ~12 m median position bias on synthesized truth
-        # vs 1.9 m with this blend — see Settings.wb_code_blend
-        wb_code_blend="nb",
+        # Slope-normalized per-component WB code DLL with the BOC(6,1)
+        # bank at its own narrow spacing: unbiased across +-5 kHz
+        # Doppler AND lower code noise than both the reference's
+        # composite blend (-1.9 m bias / 0.92 m sd at 47 dB-Hz) and the
+        # round-4 "nb" sidestep — see Settings.wb_code_blend
+        wb_code_blend="split",
     )
     path = os.path.join(REPO, ".bench_scenario_b1c33.bin")
     n = int(s.ms_to_process * 1e-3 * fs)
@@ -387,11 +412,19 @@ def bench_full_receiver_b1c():
             f"in {time.time()-t0:.0f}s")
         del sig
 
-    cap = StreamingCapture(path)
-    t0 = time.time()
-    res = run_receiver(cap, s, epochs_per_block=500, verbose=False)
-    walls = {"warm": time.time() - t0}
+    up_mbs = probe_upload_mbs()
+    transport = pick_transport(up_mbs)
+    walls = {}
+    res = None
+    for label in ("cold", "warm"):
+        cap = StreamingCapture(path)
+        t0 = time.time()
+        res = run_receiver(cap, s, epochs_per_block=500, verbose=False,
+                           transport=transport)
+        walls[label] = time.time() - t0
     _score_receiver("full_receiver_b1c", s, res, walls, fs, err_gate_m=2.0)
+    DETAIL["configs"]["full_receiver_b1c"]["relay_probe_mb_s"] = round(up_mbs, 1)
+    DETAIL["configs"]["full_receiver_b1c"]["transport"] = transport
 
 
 def bench_streaming(s):

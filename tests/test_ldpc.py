@@ -1,0 +1,128 @@
+"""64-ary LDPC(96,48) codec + soft B-CNAV2 decode extension.
+
+The reference receiver skips LDPC entirely (BCNAV2decoding.m:129-132);
+this extension decodes frames the hard systematic read loses.  The
+default H is a documented synthetic placeholder (the ICD matrix is
+injectable — navmsg/ldpc.py docstring)."""
+import numpy as np
+import pytest
+
+from bds3_tpu.navmsg import ldpc
+
+
+class TestGf64:
+    def test_field_axioms_spotcheck(self):
+        rng = np.random.default_rng(0)
+        a = rng.integers(1, 64, 50)
+        b = rng.integers(1, 64, 50)
+        c = rng.integers(1, 64, 50)
+        assert np.array_equal(ldpc.gf_mul(a, b), ldpc.gf_mul(b, a))
+        assert np.array_equal(
+            ldpc.gf_mul(a, ldpc.gf_mul(b, c)),
+            ldpc.gf_mul(ldpc.gf_mul(a, b), c))
+        assert np.array_equal(ldpc.gf_mul(a, ldpc.gf_inv(a)),
+                              np.ones_like(a))
+
+    def test_bits_symbols_roundtrip(self):
+        rng = np.random.default_rng(1)
+        bits = rng.integers(0, 2, 576).astype(np.uint8)
+        assert np.array_equal(
+            ldpc.symbols_to_bits(ldpc.bits_to_symbols(bits)), bits)
+
+
+class TestCodec:
+    def test_encode_satisfies_parity(self):
+        rng = np.random.default_rng(2)
+        msg = rng.integers(0, 2, 288).astype(np.uint8)
+        cw = ldpc.encode(msg)
+        assert len(cw) == 576
+        assert np.array_equal(cw[:288], msg)       # systematic
+        assert ldpc.parity_ok(cw)
+        assert not ldpc.parity_ok(cw ^ (np.arange(576) == 100))
+
+    def test_noiseless_decode_exact(self):
+        rng = np.random.default_rng(3)
+        msg = rng.integers(0, 2, 288).astype(np.uint8)
+        cw = ldpc.encode(msg)
+        dec, ok = ldpc.decode((1 - 2 * cw.astype(np.float64)) * 4.0)
+        assert ok and np.array_equal(dec, msg)
+
+    def test_coding_gain_over_hard_decisions(self):
+        """At ~11% raw BER every hard systematic read fails while the
+        soft LDPC decode recovers the message."""
+        rng = np.random.default_rng(4)
+        msg = rng.integers(0, 2, 288).astype(np.uint8)
+        cw = ldpc.encode(msg)
+        clean = 1 - 2 * cw.astype(np.float64)
+        n_ok, n_hard = 0, 0
+        for t in range(4):
+            soft = clean * 1.25 + rng.normal(0, 1.0, 576)
+            n_hard += int(((soft[:288] < 0) == msg).all())
+            dec, ok = ldpc.decode(soft)
+            n_ok += int(ok and np.array_equal(dec, msg))
+        assert n_hard == 0
+        assert n_ok >= 3, n_ok
+
+    def test_h_injection(self):
+        h2 = ldpc._synthetic_h(seed=99)
+        msg = np.zeros(288, dtype=np.uint8)
+        msg[5] = 1
+        base = ldpc.encode(msg)
+        try:
+            ldpc.set_bcnav2_h(h2)
+            assert not ldpc.bcnav2_h_is_placeholder()
+            other = ldpc.encode(msg)
+            assert not np.array_equal(base, other)
+            assert ldpc.parity_ok(other)
+        finally:
+            ldpc.set_bcnav2_h(None)
+        assert ldpc.bcnav2_h_is_placeholder()
+
+
+class TestFrameIntegration:
+    def _frame_soft(self, amp, noise, rng):
+        from bds3_tpu.navmsg.bcnav2 import FRAME_MS
+        from bds3_tpu.navmsg.encode import (
+            bcnav2_symbols,
+            build_bcnav2_message,
+        )
+        from bds3_tpu.navmsg.ephemeris import Ephemeris
+        from bds3_tpu.signals import b2a_data_secondary
+
+        eph = Ephemeris()
+        eph.prn = 5
+        eph.iodc, eph.iode = 105, 15
+        msgs = [build_bcnav2_message(eph, mt, 1200.0 + 3 * i)
+                for i, mt in enumerate((10, 11, 30))]
+        sym = bcnav2_symbols(msgs)                   # (1800,) +-1
+        sec = b2a_data_secondary().astype(np.float64)
+        chips = np.kron(sym.astype(np.float64), sec)  # 1 ms epochs
+        lead = np.sign(rng.normal(size=500))
+        stream = np.concatenate([lead, chips]) * amp
+        return stream + rng.normal(0, noise, len(stream))
+
+    def test_frame_decode_clean_paths_agree(self):
+        from bds3_tpu.navmsg.bcnav2 import decode_bcnav2
+
+        rng = np.random.default_rng(5)
+        stream = self._frame_soft(1.0, 0.05, rng)
+        eph_a, sf_a, tow_a = decode_bcnav2(stream, ldpc=False)
+        eph_b, sf_b, tow_b = decode_bcnav2(stream, ldpc=True)
+        assert tow_a == tow_b == 1200.0
+        assert sf_a == sf_b
+        assert eph_a.has_b2a_requisites()
+
+    def test_frame_decode_ldpc_recovers_low_snr(self):
+        """Noise level where the hard systematic CRC path decodes
+        nothing but the LDPC path recovers the ephemeris."""
+        from bds3_tpu.navmsg.bcnav2 import decode_bcnav2
+
+        rng = np.random.default_rng(11)
+        for _ in range(4):
+            stream = self._frame_soft(1.0, np.sqrt(5) * 0.8, rng)
+            eph_h, sf_h, _ = decode_bcnav2(stream, ldpc=False)
+            eph_l, sf_l, tow_l = decode_bcnav2(stream, ldpc=True)
+            if not eph_h.has_b2a_requisites() and eph_l.has_b2a_requisites():
+                assert tow_l == 1200.0
+                return
+        pytest.fail("no trial separated the hard and LDPC paths")

@@ -103,3 +103,58 @@ class TestB2aPilotSecondarySync:
         # distinct PRNs get distinct codes under the parameter table
         assert not np.array_equal(b2a_pilot_secondary(1),
                                   b2a_pilot_secondary(2))
+
+
+class TestProbePanels:
+    """probeData.m:86-170 parity: time-domain + Welch PSD + histogram."""
+
+    def test_probe_stats_panels_and_welch_peak(self, tmp_path):
+        import numpy as np
+
+        from bds3_tpu.config import FileType
+        from bds3_tpu.io.ifdata import IFDataFile, probe_stats, welch_psd
+
+        fs, f0 = 4e6, 1.25e6
+        t = np.arange(300_000) / fs
+        rng = np.random.default_rng(0)
+        x = np.clip(np.round(20 * np.cos(2 * np.pi * f0 * t)
+                             + rng.normal(0, 2, len(t))), -128, 127)
+        p = tmp_path / "tone.bin"
+        x.astype(np.int8).tofile(p)
+        st = probe_stats(IFDataFile.open(str(p), FileType.REAL8))
+        assert len(st["time_snippet"]) == 2000
+        assert not st["complex"]
+        w = st["welch"]
+        # PSD peak at the tone frequency (within one Welch bin)
+        peak_cyc = w["freq_cycles"][np.argmax(w["psd"][1:]) + 1]
+        assert abs(peak_cyc * fs - f0) < fs / 4096, peak_cyc * fs
+
+    def test_welch_psd_complex_two_sided(self):
+        import numpy as np
+
+        from bds3_tpu.io.ifdata import welch_psd
+
+        n = 100_000
+        t = np.arange(n)
+        x = np.exp(2j * np.pi * (-0.11) * t)  # negative-frequency tone
+        w = welch_psd(x, nseg=8192, overlap=1024)
+        peak = w["freq_cycles"][np.argmax(w["psd"])]
+        assert abs(peak - (-0.11)) < 1e-3, peak
+        assert len(w["psd"]) == 8192
+
+    def test_plot_probe_renders(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import numpy as np
+
+        from bds3_tpu.config import FileType
+        from bds3_tpu.io.ifdata import IFDataFile, probe_stats
+        from bds3_tpu.observe.plots import plot_probe
+
+        rng = np.random.default_rng(1)
+        p = tmp_path / "n.bin"
+        rng.integers(-20, 20, 200_000).astype(np.int8).tofile(p)
+        st = probe_stats(IFDataFile.open(str(p), FileType.REAL8))
+        fig = plot_probe(st, 4e6)
+        assert len(fig.axes) == 4

@@ -263,3 +263,28 @@ def test_b1c_wideband_nb_blend_matches_bucket():
         scale = np.abs(a).mean() + 1.0
         np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
                                    err_msg=k)
+
+
+def test_b1c_wideband_split_blend_matches_bucket():
+    """wb_code_blend='split' (BOC(6,1) bank at its own narrow spacing,
+    slope-normalized 0.3/0.7 blend) through the fused kernel vs the XLA
+    bucket path — including the stage-2b ramps at spacing61."""
+    from bds3_tpu.config import TrackMode, b1c_settings
+
+    s = b1c_settings(sampling_freq=30e6, intermediate_freq=7.5e6,
+                     track_mode=TrackMode.WIDEBAND, wb_code_blend="split")
+    sats = [SatParams(prn=7, doppler_hz=430.0, code_phase_chips=212.0,
+                      amplitude=0.9)]
+    sig = synthesize_if(s, sats, n_ms=60.0, noise_std=1.0, seed=12)
+    inits = [_init_for(s, sat) for sat in sats]
+    res = {c: track(sig, s, inits, n_epochs=4, epochs_per_block=4,
+                    correlator=c) for c in ("bucket", "fused")}
+    np.testing.assert_array_equal(res["bucket"].outputs["blksize"],
+                                  res["fused"].outputs["blksize"])
+    for k in ("d_ip", "p61_ip", "p61_ie", "p61_il", "p_ip", "carr_err",
+              "code_err"):
+        a = res["bucket"].outputs[k]
+        b = res["fused"].outputs[k]
+        scale = np.abs(a).mean() + 1.0
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-2,
+                                   err_msg=k)
