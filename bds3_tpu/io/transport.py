@@ -56,6 +56,37 @@ def unpack_int4(packed, n: int):
     return jnp.concatenate([lo, hi])[:n]
 
 
+def pack_int2(arr: np.ndarray, thresh: int = 3) -> np.ndarray:
+    """Pack int8 samples to 2-bit sign+magnitude, PLANAR quarters: byte
+    j carries samples j, j+q, j+2q, j+3q (q = ceil(n/4)) in bit pairs
+    (LSB first).  Code = (sign << 1) | (|x| >= thresh) -> levels
+    {-3, -1, +1, +3} on unpack — the classic 2-bit GNSS front-end
+    quantization (~0.55 dB C/N0 loss at thresh ~ sigma)."""
+    a = np.asarray(arr, dtype=np.int8)
+    q = (len(a) + 3) // 4
+    if len(a) != 4 * q:
+        a = np.concatenate([a, np.zeros(4 * q - len(a), np.int8)])
+    sign = (a < 0).astype(np.uint8)
+    mag = (np.abs(a.astype(np.int16)) >= thresh).astype(np.uint8)
+    code = (sign << 1) | mag
+    return (code[:q] | (code[q:2*q] << 2) | (code[2*q:3*q] << 4)
+            | (code[3*q:] << 6)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def unpack_int2(packed, n: int):
+    """Device-side unpack of `pack_int2` bytes back to (n,) int8
+    (levels -3, -1, +1, +3)."""
+    b = packed.astype(jnp.uint8)
+    quarters = []
+    for k in range(4):
+        code = (b >> (2 * k)) & 3
+        mag = (code & 1).astype(jnp.int8)
+        sign = ((code >> 1) & 1).astype(jnp.int8)
+        quarters.append(((1 - 2 * sign) * (1 + 2 * mag)).astype(jnp.int8))
+    return jnp.concatenate(quarters)[:n]
+
+
 def upload_capture(signal, packing: str = "none"):
     """Upload an int8 capture (ndarray / memmap / StreamingCapture slice
     source) to the default device as one bulk transfer; returns a device
@@ -69,6 +100,8 @@ def upload_capture(signal, packing: str = "none"):
     host = np.ascontiguousarray(host, dtype=np.int8)
     if packing == "int4":
         return unpack_int4(jnp.asarray(pack_int4(host)), n)
+    if packing == "int2":
+        return unpack_int2(jnp.asarray(pack_int2(host)), n)
     if packing != "none":
         raise ValueError(f"unknown packing {packing!r}")
     return jnp.asarray(host)

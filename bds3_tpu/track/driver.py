@@ -331,12 +331,15 @@ def track(
                     )
             if not complex_input and block.dtype != np.int8:
                 block = block.astype(np.float32)
-            if transport == "int4" and not isinstance(block, jax.Array) \
+            if transport in ("int4", "int2") \
+                    and not isinstance(block, jax.Array) \
                     and block.dtype == np.int8:
-                from bds3_tpu.io.transport import pack_int4, unpack_int4
+                from bds3_tpu.io import transport as _tx
 
-                block = unpack_int4(jnp.asarray(pack_int4(block)),
-                                    block_len)
+                pack = _tx.pack_int4 if transport == "int4" else _tx.pack_int2
+                unpack = (_tx.unpack_int4 if transport == "int4"
+                          else _tx.unpack_int2)
+                block = unpack(jnp.asarray(pack(block)), block_len)
             new_state, outs = track_block(
                 cfg, jnp.asarray(block), data_t, p11_t, p61_t,
                 ckd_i, ckd_f, ck61_i, ck61_f, consts, state,
