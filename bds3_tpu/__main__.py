@@ -39,6 +39,13 @@ def main(argv=None):
                    help="B1C wideband code-DLL blend (see Settings)")
     p.add_argument("--utm-datum", choices=("wgs84", "ed50"),
                    help="UTM E/N datum (ed50 = reference cart2utm parity)")
+    p.add_argument("--transport", choices=("none", "int4", "int2"),
+                   default="none",
+                   help="host->device capture packing (io/transport.py)")
+    p.add_argument("--ldpc", action="store_true",
+                   help="soft B-CNAV2 LDPC(96,48) decode of frames that "
+                        "fail the hard systematic CRC (extension; the "
+                        "reference always skips LDPC)")
     args = p.parse_args(argv)
 
     from bds3_tpu.config import FileType, TrackMode, b1c_settings, b2a_settings
@@ -72,6 +79,8 @@ def main(argv=None):
         overrides["wb_code_blend"] = args.wb_code_blend
     if args.utm_datum:
         overrides["utm_datum"] = args.utm_datum
+    if args.ldpc:
+        overrides["ldpc_decode"] = True
     s = (b2a_settings if args.signal == "b2a" else b1c_settings)(**overrides)
 
     f = IFDataFile.open(args.file, s.file_type, s.skip_samples)
@@ -81,7 +90,8 @@ def main(argv=None):
               f"range=[{st['min']:.0f},{st['max']:.0f}] "
               f"spectrum peak bin={st['spectrum_peak_bin']}")
 
-    res = run_receiver(f, s, checkpoint_path=args.checkpoint)
+    res = run_receiver(f, s, checkpoint_path=args.checkpoint,
+                       transport=args.transport)
     _report(res)
     return 0
 

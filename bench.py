@@ -623,6 +623,29 @@ def main():
 
     _stage("tracking_b2a_48ch", 45, _run48)
 
+    # ---- low-C/N0 config: 12-channel tracking at 40 dB-Hz ---------------
+    # the regime the lock detectors and thresholds exist for (VERDICT r4
+    # item 3); capture synthesized at the calibrated amplitude
+    # (io.amplitude_for_cn0; tests/test_lowcn0.py pins the estimator)
+    def _run40db():
+        from bds3_tpu.io import amplitude_for_cn0
+
+        amp40 = amplitude_for_cn0(s2, 40.0, 2.0)
+        sig40 = get_capture(s2, B2A_SATS, ".bench_capture40.npy",
+                            SECONDS * 1e3, amplitude=amp40)
+        inits40 = make_inits(s2, B2A_SATS, CHANNELS)
+        bench_tracking("tracking_b2a_12ch_40db", s2, jnp.asarray(sig40),
+                       inits40, n_epochs=2000, epochs_per_block=2000,
+                       passes=2)
+        cfg40 = DETAIL["configs"].get("tracking_b2a_12ch_40db", {})
+        if cfg40 and cfg40.get("locked", 0) < CHANNELS:
+            DETAIL["degraded"] = True
+            DETAIL["notes"].append(
+                f"tracking_b2a_12ch_40db: only {cfg40.get('locked')}"
+                f"/{CHANNELS} locked at 40 dB-Hz")
+
+    _stage("tracking_b2a_12ch_40db", 50, _run40db)
+
     # ---- config 4: full receivers with real decoded fixes ---------------
     _stage("full_receiver_b2a", 60,
            lambda: bench_full_receiver(cold_and_warm=remaining() > 150))
