@@ -319,6 +319,7 @@ def track(
         )
     else:
         out_chunks = []   # device arrays, downloaded once at the end
+        _pending = None   # previous block's state sync handle
         for s_cur in starts:
             block = signal[s_cur : s_cur + block_len]
             if len(block) < block_len:
@@ -351,9 +352,17 @@ def track(
             ))
             state = new_state._replace(cursor=new_state.cursor - shift)
             if sync_each_block:
-                jax.block_until_ready(state.cursor)
+                # one-block lookahead: sync the PREVIOUS block's state so
+                # the next block's host read + pack + upload overlap this
+                # block's device compute, while in-flight host staging
+                # stays bounded to ~2 blocks
+                if _pending is not None:
+                    jax.block_until_ready(_pending)
+                _pending = state.cursor
             if deadline_s is not None and _time.time() - _t0 > deadline_s:
                 break
+        if sync_each_block and _pending is not None:
+            jax.block_until_ready(_pending)
         stacked_dev = jnp.concatenate(out_chunks, axis=1)
 
     # stacked_dev: (F, E, C)

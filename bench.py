@@ -306,10 +306,13 @@ def probe_upload_mbs(n_bytes=100_000_000) -> float:
 def pick_transport(up_mbs: float) -> str:
     """Packed transport pays when the wire, not the host packing pass
     (~500 MB/s), is the bottleneck; 2-bit sign+magnitude (~0.55 dB) for
-    catastrophic relay weather (probes as low as 0.8 MB/s observed)."""
-    if up_mbs < 20.0:
+    catastrophic relay weather (probes as low as 0.8 MB/s observed).
+    The probe routinely overestimates the sustained rate 4-10x, so the
+    int4 threshold is set high — packing costs ~1 s per GB when the
+    link turns out fast, and saves tens of seconds when it collapses."""
+    if up_mbs < 25.0:
         return "int2"
-    return "int4" if up_mbs < 200.0 else "none"
+    return "int4" if up_mbs < 1000.0 else "none"
 
 
 def bench_full_receiver(cold_and_warm=True):
