@@ -71,6 +71,21 @@ def bch51_8_decode(symbols: np.ndarray) -> np.ndarray | None:
     return bch_decode(symbols, 51, 8, 50.0)
 
 
+def bch_decode_soft(symbols: np.ndarray, n_code: int,
+                    n_info: int) -> tuple[np.ndarray, float]:
+    """Thresholdless soft max-correlation decode: returns (info bits,
+    normalized correlation in [-1, 1]).  The reference's hard thresholds
+    (20/21, 50/51) require essentially error-free symbols; the LDPC
+    extension path (bcnav1.py) decodes subframe 1 softly and gates on
+    the normalized correlation instead."""
+    m = _matrices()[(n_code, n_info)]
+    s = np.asarray(symbols, dtype=np.float64)
+    corr = m @ s
+    best = int(np.argmax(corr))
+    denom = np.abs(s).sum() or 1.0
+    return to_bits(best, n_info), float(corr[best] / denom)
+
+
 def bch_encode(info_bits: np.ndarray, n_code: int) -> np.ndarray:
     """Encode info bits -> bipolar code word (for tests / signal synthesis)."""
     n_info = len(info_bits)

@@ -200,18 +200,16 @@ def build_bcnav1_payloads(eph: Ephemeris, soh_s: float) -> tuple[np.ndarray, np.
 def bcnav1_frame_symbols(eph: Ephemeris, soh_s: float) -> np.ndarray:
     """One 1800-symbol B-CNAV1 data-channel frame (+-1).
 
-    [BCH21(prn6) | BCH51(soh8) | interleaved SF2(1200)+SF3(528)], where the
-    'LDPC' halves beyond the systematic bits are pseudorandom, matching
-    what the skip-LDPC receiver reads (BCNAV1decoding.m:144-163).
+    [BCH21(prn6) | BCH51(soh8) | interleaved SF2(1200)+SF3(528)], with
+    real LDPC(200,100)/(88,44) parity in the non-systematic halves — the
+    skip-LDPC receiver reads only the systematic bits
+    (BCNAV1decoding.m:144-163); the ldpc_decode extension uses the rest.
     """
-    rng = np.random.default_rng(eph.prn)
+    from bds3_tpu.navmsg.ldpc import code_h, encode as ldpc_encode
+
     sf2, sf3 = build_bcnav1_payloads(eph, soh_s)
-    frame2 = np.empty(1200, dtype=np.uint8)
-    frame2[:600] = sf2
-    frame2[600:] = rng.integers(0, 2, 600)
-    frame3 = np.empty(528, dtype=np.uint8)
-    frame3[:264] = sf3
-    frame3[264:] = rng.integers(0, 2, 264)
+    frame2 = ldpc_encode(sf2, code_h("bcnav1_sf2"))     # (1200,)
+    frame3 = ldpc_encode(sf3, code_h("bcnav1_sf3"))     # (528,)
 
     inter = np.empty((36, 48), dtype=np.uint8)
     sf3_rows = np.arange(2, 35, 3)

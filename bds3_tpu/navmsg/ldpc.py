@@ -1,18 +1,21 @@
-"""64-ary LDPC codec for B-CNAV2 (96, 48) — the decode stage the
+"""64-ary LDPC codecs for the B-CNAV messages — the decode stage the
 reference receiver explicitly skips (`BDS-3_B2a/include/BCNAV2decoding.m:
-129-132` reads the systematic half and drops the parity), implemented as
-a labeled, parity-default-off extension (VERDICT r4 item 7).
+129-132`, `BDS-3_B1C/include/BCNAV1decoding.m:144-163` read the
+systematic halves and drop the parity), implemented as a labeled,
+parity-default-off extension (VERDICT r4 item 7).
 
-The ICD-B2a-1.0 message is 288 bits = 48 GF(2^6) symbols, protected by a
-64-ary LDPC(96, 48) code (primitive polynomial x^6 + x + 1).  The ICD
-publishes the parity-check matrix only in the PDF; this environment has
-no copy, so the default matrix here is a DETERMINISTIC SYNTHETIC
-construction (seeded, unit-lower-triangular parity block for systematic
-encoding) used consistently by the frame encoder and this decoder — the
-full pilot/parity chain works end-to-end on synthesized captures, and
-the real ICD matrix can be dropped in via ``BDS3_BCNAV2_LDPC_H`` (a text
-file of ``row col coeff`` triples, coeff in GF(64) power-basis integer
-form) or :func:`set_bcnav2_h`.
+All three BDS-3 B-CNAV codes are rate-1/2 over GF(2^6) (primitive
+polynomial x^6 + x + 1): B-CNAV2 LDPC(96, 48), B-CNAV1 subframe-2
+LDPC(200, 100) and subframe-3 LDPC(88, 44).  The ICDs publish the
+parity-check matrices only in the PDFs; this environment has no copy, so
+the default matrices here are DETERMINISTIC SYNTHETIC constructions
+(seeded, unit-lower-banded parity block for systematic encoding) used
+consistently by the frame encoders and these decoders — the full
+parity chain works end-to-end on synthesized captures, and the real ICD
+matrices can be dropped in via ``BDS3_BCNAV2_LDPC_H`` /
+``BDS3_BCNAV1_SF2_LDPC_H`` / ``BDS3_BCNAV1_SF3_LDPC_H`` (text files of
+``row col coeff`` triples, coeff in GF(64) power-basis integer form) or
+:func:`set_code_h`.
 
 Decoder: probability-domain Q-ary sum-product with fast-Hadamard-
 transform check nodes — GF(2^6)'s additive group is (Z_2)^6, so the
@@ -66,35 +69,44 @@ def gf_inv(a):
     return _EXP[(Q - 1 - _LOG[a]) % (Q - 1)]
 
 
-# --- parity-check matrix ---------------------------------------------------
+# --- parity-check matrices -------------------------------------------------
+# All BDS-3 B-CNAV LDPC codes are rate-1/2 over GF(64): B-CNAV2 (96,48),
+# B-CNAV1 subframe 2 (200,100) and subframe 3 (88,44).  H is (k, 2k);
+# column block [0:k] covers the message symbols, [k:2k] the parity.
 
-_user_h: np.ndarray | None = None
+# (k_sym, env var, synthetic seed) per code name
+_CODES = {
+    "bcnav2": (48, "BDS3_BCNAV2_LDPC_H", 7),
+    "bcnav1_sf2": (100, "BDS3_BCNAV1_SF2_LDPC_H", 11),
+    "bcnav1_sf3": (44, "BDS3_BCNAV1_SF3_LDPC_H", 13),
+}
+_user_h: dict[str, np.ndarray] = {}
 
 
-def _synthetic_h(seed: int = 7) -> np.ndarray:
-    """Deterministic placeholder H (48 x 96, GF(64) entries).
+def _synthetic_h(k: int, seed: int) -> np.ndarray:
+    """Deterministic placeholder H (k x 2k, GF(64) entries).
 
     Layout [A | B] with B unit-lower-banded (1s on the diagonal, one
     sub-band coefficient), so systematic encoding is forward
     substitution and H is full rank by construction.  A has column
-    weight 3 over the 48 message symbols with nonzero random
+    weight 3 over the k message symbols with nonzero random
     coefficients — enough structure for the decoder to show real coding
     gain, no claim of matching the ICD broadcast code.
     """
     rng = np.random.default_rng(seed)
-    h = np.zeros((K_SYM, N_SYM), dtype=np.int64)
-    for c in range(K_SYM):                       # message columns
-        rows = rng.choice(K_SYM, size=3, replace=False)
+    h = np.zeros((k, 2 * k), dtype=np.int64)
+    for c in range(k):                           # message columns
+        rows = rng.choice(k, size=3, replace=False)
         h[rows, c] = rng.integers(1, Q, size=3)
-    for r in range(K_SYM):                       # parity block B
-        h[r, K_SYM + r] = 1
+    for r in range(k):                           # parity block B
+        h[r, k + r] = 1
         if r > 0:
-            h[r, K_SYM + r - 1] = int(rng.integers(1, Q))
+            h[r, k + r - 1] = int(rng.integers(1, Q))
     return h
 
 
-def _parse_h_file(path: str) -> np.ndarray:
-    h = np.zeros((K_SYM, N_SYM), dtype=np.int64)
+def _parse_h_file(path: str, k: int) -> np.ndarray:
+    h = np.zeros((k, 2 * k), dtype=np.int64)
     with open(path, "r", encoding="utf-8") as fh:
         for line in fh:
             line = line.split("#", 1)[0].strip()
@@ -105,28 +117,44 @@ def _parse_h_file(path: str) -> np.ndarray:
     return h
 
 
+def set_code_h(code: str, h: np.ndarray | None) -> None:
+    """Install a user-supplied GF(64) parity-check matrix (the ICD
+    broadcast code) for `code` in _CODES, or None to revert to the
+    env/synthetic resolution."""
+    k = _CODES[code][0]
+    if h is None:
+        _user_h.pop(code, None)
+        return
+    h = np.asarray(h, dtype=np.int64)
+    if h.shape != (k, 2 * k):
+        raise ValueError(f"{code}: H must be {k}x{2 * k}, got {h.shape}")
+    _user_h[code] = h
+
+
+def code_h(code: str) -> np.ndarray:
+    k, env, seed = _CODES[code]
+    if code in _user_h:
+        return _user_h[code]
+    path = os.environ.get(env, "")
+    if path:
+        return _parse_h_file(path, k)
+    return _synthetic_h(k, seed)
+
+
+def code_h_is_placeholder(code: str) -> bool:
+    return code not in _user_h and not os.environ.get(_CODES[code][1], "")
+
+
 def set_bcnav2_h(h: np.ndarray | None) -> None:
-    """Install a user-supplied 48x96 GF(64) parity-check matrix (the ICD
-    broadcast code), or None to revert to env/synthetic resolution."""
-    global _user_h
-    if h is not None:
-        h = np.asarray(h, dtype=np.int64)
-        if h.shape != (K_SYM, N_SYM):
-            raise ValueError(f"H must be {K_SYM}x{N_SYM}, got {h.shape}")
-    _user_h = h
+    set_code_h("bcnav2", h)
 
 
 def bcnav2_h() -> np.ndarray:
-    if _user_h is not None:
-        return _user_h
-    path = os.environ.get("BDS3_BCNAV2_LDPC_H", "")
-    if path:
-        return _parse_h_file(path)
-    return _synthetic_h()
+    return code_h("bcnav2")
 
 
 def bcnav2_h_is_placeholder() -> bool:
-    return _user_h is None and not os.environ.get("BDS3_BCNAV2_LDPC_H", "")
+    return code_h_is_placeholder("bcnav2")
 
 
 # --- bits <-> symbols ------------------------------------------------------
@@ -158,9 +186,10 @@ def _parity_inverse(h: np.ndarray) -> np.ndarray:
     key = h.tobytes()
     if key in _binv_cache:
         return _binv_cache[key]
-    b = h[:, K_SYM:].copy()
-    inv = np.eye(K_SYM, dtype=np.int64)
-    for col in range(K_SYM):
+    k = h.shape[0]
+    b = h[:, k:].copy()
+    inv = np.eye(k, dtype=np.int64)
+    for col in range(k):
         piv = col + int(np.argmax(b[col:, col] != 0))
         if b[piv, col] == 0:
             raise ValueError("parity block is singular")
@@ -170,7 +199,7 @@ def _parity_inverse(h: np.ndarray) -> np.ndarray:
         f = gf_inv(b[col, col])
         b[col] = gf_mul(b[col], f)
         inv[col] = gf_mul(inv[col], f)
-        for r in range(K_SYM):
+        for r in range(k):
             if r != col and b[r, col]:
                 f = b[r, col]
                 b[r] = b[r] ^ gf_mul(f, b[col])
@@ -180,11 +209,17 @@ def _parity_inverse(h: np.ndarray) -> np.ndarray:
 
 
 def encode(msg_bits: np.ndarray, h: np.ndarray | None = None) -> np.ndarray:
-    """288 message bits -> 576 codeword bits (systematic [m | p]):
-    H [m; p] = 0  =>  p = B^{-1} A m over GF(64)."""
+    """6k message bits -> 12k codeword bits (systematic [m | p]):
+    H [m; p] = 0  =>  p = B^{-1} A m over GF(64).  Default code:
+    B-CNAV2 (96,48); pass code_h("bcnav1_sf2"/"bcnav1_sf3") for the
+    B-CNAV1 subframe codes."""
     h = bcnav2_h() if h is None else h
+    k = h.shape[0]
     m = bits_to_symbols(msg_bits)
-    rhs = _gf_matvec(h[:, :K_SYM], m)
+    if len(m) != k:
+        raise ValueError(f"expected {k * M_BITS} message bits, got "
+                         f"{len(msg_bits)}")
+    rhs = _gf_matvec(h[:, :k], m)
     p = _gf_matvec(_parity_inverse(h), rhs)
     return np.concatenate([np.asarray(msg_bits, dtype=np.uint8),
                            symbols_to_bits(p)])
@@ -278,11 +313,11 @@ def decode(soft_bits: np.ndarray, h: np.ndarray | None = None,
         contrib = gf_mul(coeffs, hard[cols])
         np.bitwise_xor.at(synd, rows, contrib)
         if not synd.any():
-            return symbols_to_bits(hard)[: K_SYM * M_BITS], True
+            return symbols_to_bits(hard)[: h.shape[0] * M_BITS], True
         ex = post[cols] - logc
         ex -= ex.max(axis=1, keepdims=True)
         m_v2c = np.exp(ex)
         m_v2c /= m_v2c.sum(axis=1, keepdims=True)
 
     hard = post.argmax(axis=1)
-    return symbols_to_bits(hard)[: K_SYM * M_BITS], False
+    return symbols_to_bits(hard)[: h.shape[0] * M_BITS], False

@@ -73,7 +73,9 @@ def post_navigation(track, settings: Settings) -> NavSolutions | None:
             ok = eph.has_b2a_requisites() and sfs is not None
         else:
             pilot = pilot_prompt_stream(track, ch)
-            eph, sfs, t = decode_bcnav1(track.outputs["d_ip"][ch], pilot, prn)
+            eph, sfs, t = decode_bcnav1(
+                track.outputs["d_ip"][ch], pilot, prn,
+                ldpc=getattr(settings, "ldpc_decode", False))
             ok = eph.flag and sfs is not None
         if ok:
             ephs[prn] = eph
