@@ -170,7 +170,7 @@ class TestElevationReadmission:
 
         monkeypatch.setattr(
             solver_mod, "decode_bcnav2",
-            lambda ip: per_ch[int(round(ip[0]))])
+            lambda ip, **kw: per_ch[int(round(ip[0]))])
 
         dipped = 0                        # channel forced below the mask
         calls = []
