@@ -307,12 +307,12 @@ def pick_transport(up_mbs: float) -> str:
     """Packed transport pays when the wire, not the host packing pass
     (~500 MB/s), is the bottleneck; 2-bit sign+magnitude (~0.55 dB) for
     catastrophic relay weather (probes as low as 0.8 MB/s observed).
-    The probe routinely overestimates the sustained rate 4-10x, so the
-    int4 threshold is set high — packing costs ~1 s per GB when the
-    link turns out fast, and saves tens of seconds when it collapses."""
+    Crossover: the host packing pass costs bytes/500MBps while int4
+    saves bytes/2/up_mbs on the wire, so packing pays below
+    ~250 MB/s."""
     if up_mbs < 25.0:
         return "int2"
-    return "int4" if up_mbs < 1000.0 else "none"
+    return "int4" if up_mbs < 250.0 else "none"
 
 
 def bench_full_receiver(cold_and_warm=True):
@@ -494,7 +494,11 @@ def bench_streaming(s):
     cap = StreamingCapture(path)
     inits = make_inits(s, B2A_SATS, 12)
     t0 = time.time()
-    res = track(cap, s, inits, n_epochs=48_500, epochs_per_block=2000,
+    # 4 s blocks: the per-block host orchestration (pread + pack +
+    # upload dispatches) costs ~1-2 s regardless of block length, so
+    # longer blocks cut its share; in-flight staging stays bounded to
+    # two blocks by the lookahead sync
+    res = track(cap, s, inits, n_epochs=48_500, epochs_per_block=4000,
                 correlator="fused", download=False, sync_each_block=True,
                 deadline_s=deadline, transport=transport)
     np.asarray(res.outputs["d_ip"][:, -200:])
