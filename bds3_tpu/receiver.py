@@ -140,8 +140,12 @@ def run_receiver(
     if n_epochs is None:
         n_epochs = settings.int_epochs
     t0 = time.time()
+    # if the capture was not uploaded up front (too large / non-TPU),
+    # the per-block streaming path applies the packed transport itself
     trk = track(signal, settings, channels, n_epochs=n_epochs,
-                epochs_per_block=min(epochs_per_block, n_epochs))
+                epochs_per_block=min(epochs_per_block, n_epochs),
+                transport="none" if isinstance(signal, jax.Array)
+                else transport)
     timings["track_s"] = time.time() - t0
     ms_tracked = trk.n_epochs * settings.int_time * 1e3
     timings["track_realtime_factor"] = ms_tracked / 1e3 / timings["track_s"]
